@@ -1,0 +1,509 @@
+"""Pure-functional simulator core: reset / advance_time / step as jit-able ops.
+
+This module is the TPU-native re-design of the reference env's imperative core
+(reference: JSSEnv/envs/jss_env.py:145-653). Every reference Python loop over
+jobs/machines becomes a masked tensor op; the event queue becomes a
+min-reduction; the auto fast-forward becomes a ``lax.while_loop``; the two
+mask-shaping heuristics become fixed-shape masked reductions/scans. All
+functions are pure ``EnvState -> EnvState`` maps and compose with
+``jax.jit``/``jax.vmap``/``shard_map``.
+
+Bit-exactness contract (SURVEY.md §2.3): for any legal action sequence, the
+state after ``step`` here equals the reference env's state field-for-field —
+same clock, mask, counters, solution matrix, raw (integer) reward and
+observation values. The parity tests in tests/test_parity.py verify this
+stepwise against the reference implementation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from jssenv_tpu.core.state import EnvState
+from jssenv_tpu.instances import InstanceSpec
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+@struct.dataclass
+class Transition:
+    """Result of one agent step.
+
+    reward:     () float32 — scaled reward (raw / max_time_op), reference
+                _reward_scaler (jss_env.py:483-493).
+    raw_reward: () int32 — exact integer reward before scaling
+                (+duration on allocation, -machine idle holes on fast-forward).
+    done:       () bool — nb_legal_actions == 0 (jss_env.py:639-653).
+    """
+
+    reward: jax.Array
+    raw_reward: jax.Array
+    done: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# construction / reset
+# ---------------------------------------------------------------------------
+
+
+def init_state(
+    op_machine: jax.Array,
+    op_dur: jax.Array,
+    num_jobs: jax.Array,
+    num_machines: jax.Array,
+) -> EnvState:
+    """Build a freshly-reset EnvState from padded instance tensors.
+
+    Mirrors reference ``reset()`` (jss_env.py:145-181) plus the derived
+    normalizer scalars computed at construction (jss_env.py:86-89). Padded job
+    lanes are initialized as already-finished; padded machines as permanently
+    free and never needed, so they are inert under every kernel.
+    """
+    op_machine = jnp.asarray(op_machine, jnp.int32)
+    op_dur = jnp.asarray(op_dur, jnp.int32)
+    jp, mp = op_machine.shape
+    num_jobs = jnp.asarray(num_jobs, jnp.int32)
+    num_machines = jnp.asarray(num_machines, jnp.int32)
+    job_valid = jnp.arange(jp, dtype=jnp.int32) < num_jobs
+    jobs_length = jnp.sum(op_dur, axis=1, dtype=jnp.int32)
+
+    state = EnvState(
+        op_machine=op_machine,
+        op_dur=op_dur,
+        num_jobs=num_jobs,
+        num_machines=num_machines,
+        max_time_op=jnp.max(op_dur).astype(jnp.int32),
+        max_time_jobs=jnp.max(jobs_length).astype(jnp.int32),
+        sum_op=jnp.sum(op_dur, dtype=jnp.int32),
+        time=jnp.int32(0),
+        legal=job_valid,
+        noop_legal=jnp.bool_(False),
+        nb_legal=num_jobs,
+        nb_machine_legal=jnp.int32(0),
+        machine_legal=jnp.zeros((mp,), jnp.bool_),
+        solution=jnp.full((jp, mp), -1, jnp.int32),
+        machine_busy_for=jnp.zeros((mp,), jnp.int32),
+        job_busy_for=jnp.zeros((jp,), jnp.int32),
+        next_op=jnp.where(job_valid, 0, num_machines).astype(jnp.int32),
+        work_done=jnp.zeros((jp,), jnp.int32),
+        needed_machine=jnp.where(job_valid, op_machine[:, 0], -1).astype(jnp.int32),
+        idle_total=jnp.zeros((jp,), jnp.int32),
+        idle_since_op=jnp.zeros((jp,), jnp.int32),
+        pin=jnp.zeros((mp, jp), jnp.bool_),
+        noop_pin=jnp.zeros((jp,), jnp.bool_),
+        obs=jnp.zeros((jp, 7), jnp.float32),
+    )
+    # machine_legal[m] = some valid job's first op runs on m (jss_env.py:174-179)
+    ml = (
+        jnp.zeros((mp,), jnp.int32)
+        .at[jnp.clip(state.needed_machine, 0, mp - 1)]
+        .max(job_valid.astype(jnp.int32))
+        > 0
+    )
+    return state.replace(
+        machine_legal=ml, nb_machine_legal=jnp.sum(ml, dtype=jnp.int32)
+    )
+
+
+def reset(state: EnvState) -> EnvState:
+    """Reset an existing state in place (same instance), pure."""
+    return init_state(
+        state.op_machine, state.op_dur, state.num_jobs, state.num_machines
+    )
+
+
+def state_from_spec(spec: InstanceSpec, jobs_pad: int = 0, machines_pad: int = 0) -> EnvState:
+    """Host helper: build an EnvState from a parsed InstanceSpec."""
+    padded = spec.padded(max(jobs_pad, spec.num_jobs), max(machines_pad, spec.num_machines))
+    return init_state(
+        jnp.asarray(padded.op_machine),
+        jnp.asarray(padded.op_dur),
+        spec.num_jobs,
+        spec.num_machines,
+    )
+
+
+# ---------------------------------------------------------------------------
+# time advance (the reference's increase_time_step, jss_env.py:495-637)
+# ---------------------------------------------------------------------------
+
+
+def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
+    """Advance the clock to the next completion event; returns (state, holes).
+
+    ``holes`` is the total machine idle time accrued during the advance — the
+    reward penalty (reference hole_planning). The event popped from the
+    reference's sorted queue always equals ``time + min(busy machine_busy_for)``
+    (SURVEY.md §2.3.2), so no queue is materialized. Calling this when no
+    machine is busy (reference would raise on ``pop``) is a safe no-op here.
+    """
+    jp, mp = state.jobs_pad, state.machines_pad
+    j_idx = jnp.arange(jp, dtype=jnp.int32)
+    busy = state.machine_busy_for > 0
+    any_busy = jnp.any(busy)
+    diff = jnp.where(
+        any_busy,
+        jnp.min(jnp.where(busy, state.machine_busy_for, _I32_MAX)),
+        0,
+    )
+    time = state.time + diff
+
+    # ---- per-job update (jss_env.py:525-601) ----
+    was_left = state.job_busy_for
+    running = was_left > 0  # padded jobs: never busy
+    performed = jnp.minimum(diff, was_left)
+    job_busy_for = jnp.where(running, jnp.maximum(0, was_left - diff), was_left)
+    work_done = state.work_done + jnp.where(running, performed, 0)
+    completed = running & (job_busy_for == 0)
+
+    idle_gain = diff - was_left  # only meaningful where completed
+    idle_total = state.idle_total + jnp.where(completed, idle_gain, 0)
+    idle_since_op = jnp.where(completed, idle_gain, state.idle_since_op)
+    next_op = state.next_op + completed.astype(jnp.int32)
+    finished_now = completed & (next_op == state.num_machines)
+    continues = completed & (next_op < state.num_machines)
+    next_machine = jnp.take_along_axis(
+        state.op_machine, jnp.clip(next_op, 0, mp - 1)[:, None], axis=1
+    )[:, 0]
+    needed_machine = jnp.where(
+        continues, next_machine, jnp.where(finished_now, -1, state.needed_machine)
+    )
+    # a job that just finished while legal becomes illegal (jss_env.py:589-591)
+    drop_legal = finished_now & state.legal
+    legal = state.legal & ~drop_legal
+    nb_legal = state.nb_legal - jnp.sum(drop_legal, dtype=jnp.int32)
+
+    # waiting jobs accrue idle time (jss_env.py:594-601); uses the pre-update
+    # next_op (identical to post-update for non-running jobs)
+    waiting = (~running) & (state.next_op < state.num_machines) & state.job_valid
+    idle_total = idle_total + jnp.where(waiting, diff, 0)
+    idle_since_op = idle_since_op + jnp.where(waiting, diff, 0)
+
+    # observation columns touched by the advance (writers at jss_env.py:539-601)
+    max_op_f = state.max_time_op.astype(jnp.float32)
+    max_jobs_f = state.max_time_jobs.astype(jnp.float32)
+    sum_op_f = state.sum_op.astype(jnp.float32)
+    nm_f = state.num_machines.astype(jnp.float32)
+    obs = state.obs
+    obs = obs.at[:, 1].set(
+        jnp.where(running, job_busy_for.astype(jnp.float32) / max_op_f, obs[:, 1])
+    )
+    obs = obs.at[:, 3].set(
+        jnp.where(running, work_done.astype(jnp.float32) / max_jobs_f, obs[:, 3])
+    )
+    touch_idle = completed | waiting
+    obs = obs.at[:, 5].set(
+        jnp.where(touch_idle, idle_since_op.astype(jnp.float32) / sum_op_f, obs[:, 5])
+    )
+    obs = obs.at[:, 6].set(
+        jnp.where(touch_idle, idle_total.astype(jnp.float32) / sum_op_f, obs[:, 6])
+    )
+    obs = obs.at[:, 2].set(
+        jnp.where(completed, next_op.astype(jnp.float32) / nm_f, obs[:, 2])
+    )
+    # col 4: wait-until-needed-machine-free for continuing jobs, computed from
+    # the PRE-advance machine timers minus diff (jss_env.py:569-578); 1.0
+    # sentinel for finished jobs (jss_env.py:586)
+    wait_next = jnp.maximum(
+        0,
+        state.machine_busy_for[jnp.clip(needed_machine, 0, mp - 1)] - diff,
+    )
+    obs = obs.at[:, 4].set(
+        jnp.where(
+            continues,
+            wait_next.astype(jnp.float32) / max_op_f,
+            jnp.where(finished_now, 1.0, obs[:, 4]),
+        )
+    )
+
+    # ---- per-machine update (jss_env.py:604-634) ----
+    m_valid = state.machine_valid
+    holes = jnp.sum(
+        jnp.where(m_valid, jnp.maximum(0, diff - state.machine_busy_for), 0),
+        dtype=jnp.int32,
+    )
+    machine_busy_for = jnp.maximum(0, state.machine_busy_for - diff)
+    free = (machine_busy_for == 0) & m_valid
+
+    # re-legalize jobs whose needed machine became free, unless no-op pinned
+    # (jss_env.py:616-629); gated on any_busy so a queue-empty call is a no-op
+    nm_clip = jnp.clip(needed_machine, 0, mp - 1)
+    cand = (
+        any_busy
+        & (needed_machine >= 0)
+        & free[nm_clip]
+        & ~legal
+        & ~state.pin[nm_clip, j_idx]
+        & state.job_valid
+    )
+    legal = legal | cand
+    nb_legal = nb_legal + jnp.sum(cand, dtype=jnp.int32)
+    ml_add = (
+        jnp.zeros((mp,), jnp.int32).at[nm_clip].max(cand.astype(jnp.int32)) > 0
+    )
+    nb_machine_legal = state.nb_machine_legal + jnp.sum(
+        ml_add & ~state.machine_legal, dtype=jnp.int32
+    )
+    machine_legal = state.machine_legal | ml_add
+
+    new_state = state.replace(
+        time=time,
+        legal=legal,
+        nb_legal=nb_legal,
+        nb_machine_legal=nb_machine_legal,
+        machine_legal=machine_legal,
+        machine_busy_for=machine_busy_for,
+        job_busy_for=job_busy_for,
+        next_op=next_op,
+        work_done=work_done,
+        needed_machine=needed_machine,
+        idle_total=idle_total,
+        idle_since_op=idle_since_op,
+        obs=obs,
+    )
+    return new_state, holes
+
+
+# ---------------------------------------------------------------------------
+# mask-shaping heuristics (part of the env contract, SURVEY.md §2.3.5)
+# ---------------------------------------------------------------------------
+
+
+def prioritization_non_final(state: EnvState) -> EnvState:
+    """Vectorized reference ``_prioritization_non_final`` (jss_env.py:183-254).
+
+    Per legal machine: among competing legal jobs, if any non-final-op job whose
+    *next* op's machine is currently free exists, mask out every final-op job
+    whose duration exceeds the minimum such non-final duration. Implemented as
+    two masked segment reductions over machines.
+    """
+    jp, mp = state.jobs_pad, state.machines_pad
+    m_of = jnp.clip(state.needed_machine, 0, mp - 1)
+    cand = state.legal & (state.needed_machine >= 0)
+    gate = state.machine_legal[m_of]
+    op_clip = jnp.clip(state.next_op, 0, mp - 1)
+    dur_cur = jnp.take_along_axis(state.op_dur, op_clip[:, None], axis=1)[:, 0]
+    is_final = state.next_op == (state.num_machines - 1)
+    next_m = jnp.take_along_axis(
+        state.op_machine, jnp.clip(state.next_op + 1, 0, mp - 1)[:, None], axis=1
+    )[:, 0]
+    eligible_nf = (
+        cand & gate & ~is_final & (state.machine_busy_for[next_m] == 0)
+    )
+    min_nf = (
+        jnp.full((mp,), _I32_MAX, jnp.int32)
+        .at[m_of]
+        .min(jnp.where(eligible_nf, dur_cur, _I32_MAX))
+    )
+    has_nf = (
+        jnp.zeros((mp,), jnp.int32).at[m_of].max(eligible_nf.astype(jnp.int32)) > 0
+    )
+    kill = cand & gate & is_final & has_nf[m_of] & (dur_cur > min_nf[m_of])
+    return state.replace(
+        legal=state.legal & ~kill,
+        nb_legal=state.nb_legal - jnp.sum(kill, dtype=jnp.int32),
+    )
+
+
+def check_no_op(state: EnvState) -> EnvState:
+    """Vectorized reference ``_check_no_op`` (jss_env.py:256-401).
+
+    Decides whether waiting (no-op) is legal: gated on a non-empty event queue,
+    ≤3 legal machines and ≤4 legal actions; pass 1 computes per-machine time
+    horizons from legal jobs (with an early-out if any legal job finishes
+    before the next event); pass 2 walks the future op chains of illegal jobs
+    (bounded by ``num_machines - 1``) collecting machines that would be better
+    used by waiting; no-op becomes legal iff that set covers all legal machines.
+
+    The reference's order-dependent running ``max_horizon`` (it takes a max of
+    the per-machine running min after each legal job in index order,
+    jss_env.py:318-321) is reproduced with a (J, J) prefix-min matrix — cheap at
+    J ≤ 128. The data-dependent while-walk (jss_env.py:339-401) is monotone
+    (positions increase, accumulated time is non-decreasing), so its iteration
+    set equals a pointwise condition on a precomputed cumulative-sum tensor —
+    no loop is needed at all.
+    """
+    jp, mp = state.jobs_pad, state.machines_pad
+    j_idx = jnp.arange(jp, dtype=jnp.int32)
+    busy = state.machine_busy_for > 0
+    any_busy = jnp.any(busy)
+    gate = any_busy & (state.nb_machine_legal <= 3) & (state.nb_legal <= 4)
+    next_ev = state.time + jnp.min(
+        jnp.where(busy, state.machine_busy_for, _I32_MAX)
+    )
+
+    # ---- pass 1: horizons from legal jobs (jss_env.py:304-321) ----
+    lj = state.legal
+    op_clip = jnp.clip(state.next_op, 0, mp - 1)
+    m1 = jnp.take_along_axis(state.op_machine, op_clip[:, None], axis=1)[:, 0]
+    t1 = jnp.take_along_axis(state.op_dur, op_clip[:, None], axis=1)[:, 0]
+    end = state.time + t1
+    early_out = jnp.any(lj & (end < next_ev))
+    cap = state.time + state.max_time_op
+
+    # running max_horizon: for each legal job j (in index order) the value
+    # min(cap, min over legal j' <= j on the same machine of end[j'])
+    same_m = m1[None, :] == m1[:, None]  # [j, j']
+    prefix = (j_idx[None, :] <= j_idx[:, None]) & lj[None, :] & same_m
+    run_min = jnp.min(
+        jnp.where(prefix, end[None, :], _I32_MAX), axis=1
+    )
+    run_min = jnp.minimum(cap, run_min)
+    max_horizon = jnp.max(jnp.where(lj, run_min, -_I32_MAX))
+    max_horizon = jnp.maximum(state.time, max_horizon)
+
+    # final per-machine horizon used by pass 2
+    mh = jnp.minimum(
+        cap,
+        jnp.full((mp,), _I32_MAX, jnp.int32)
+        .at[m1]
+        .min(jnp.where(lj, end, _I32_MAX)),
+    )
+
+    # ---- pass 2: op-chain walk of illegal jobs (jss_env.py:323-401) ----
+    illegal = ~state.legal & state.job_valid
+    case1 = illegal & (state.job_busy_for > 0) & (state.next_op + 1 < state.num_machines)
+    case2 = illegal & ~case1 & ~state.noop_pin & (state.next_op < state.num_machines)
+    start = jnp.where(case1, state.next_op + 1, state.next_op)
+    tn0 = jnp.where(
+        case1,
+        state.time + state.job_busy_for,
+        state.time + state.machine_busy_for[jnp.clip(m1, 0, mp - 1)],
+    )
+    active = case1 | case2
+
+    k = jnp.arange(mp - 1, dtype=jnp.int32)  # walk positions, ≤ machines-1 steps
+    pos = start[:, None] + k[None, :]  # (J, M-1)
+    pos_clip = jnp.clip(pos, 0, mp - 1)
+    dur_seq = jnp.take_along_axis(state.op_dur, pos_clip, axis=1)
+    m_seq = jnp.take_along_axis(state.op_machine, pos_clip, axis=1)
+    csum = jnp.cumsum(dur_seq, axis=1)
+    tn = tn0[:, None] + jnp.concatenate(
+        [jnp.zeros((jp, 1), jnp.int32), csum[:, :-1]], axis=1
+    )
+    ok = (
+        active[:, None]
+        & (pos < state.num_machines - 1)
+        & (max_horizon > tn)
+    )
+    add = ok & (mh[m_seq] > tn) & state.machine_legal[m_seq]
+    covered = (
+        jnp.zeros((mp,), jnp.int32).at[m_seq].max(add.astype(jnp.int32)) > 0
+    )
+    all_covered = jnp.all(covered | ~state.machine_legal)
+    noop = gate & ~early_out & (state.nb_machine_legal > 0) & all_covered
+    return state.replace(noop_legal=noop)
+
+
+# ---------------------------------------------------------------------------
+# step (reference jss_env.py:403-481)
+# ---------------------------------------------------------------------------
+
+
+def _scatter_row(x: jax.Array, row: jax.Array, value, enable) -> jax.Array:
+    """x.at[row].set(value) but only when ``enable`` (otherwise unchanged)."""
+    safe = jnp.where(enable, row, 0)
+    return jnp.where(enable, x.at[safe].set(value), x)
+
+
+def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
+    """One agent step: allocate job ``action`` or wait (``action >= num_jobs``).
+
+    Branch-free formulation: the allocation branch (jss_env.py:441-481) and the
+    no-op branch (jss_env.py:419-440) are expressed as masked updates sharing
+    one fast-forward ``while_loop`` and one heuristic epilogue, so a vmapped
+    batch never pays for both branches twice.
+    """
+    jp, mp = state.jobs_pad, state.machines_pad
+    j_idx = jnp.arange(jp, dtype=jnp.int32)
+    action = jnp.asarray(action, jnp.int32)
+    is_noop = action >= state.num_jobs
+    is_alloc = ~is_noop
+
+    # --- allocation pre-updates ---
+    a = jnp.where(is_alloc, jnp.clip(action, 0, jp - 1), 0)
+    op = jnp.clip(state.next_op[a], 0, mp - 1)
+    m = jnp.clip(state.needed_machine[a], 0, mp - 1)
+    dur = state.op_dur[a, op]
+    raw_reward = jnp.where(is_alloc, dur, 0)
+
+    kill_alloc = is_alloc & state.legal & (state.needed_machine == state.needed_machine[a])
+    machine_busy_for = _scatter_row(state.machine_busy_for, m, dur, is_alloc)
+    job_busy_for = _scatter_row(state.job_busy_for, a, dur, is_alloc)
+    obs = jnp.where(
+        is_alloc,
+        state.obs.at[a, 1].set(dur.astype(jnp.float32) / state.max_time_op),
+        state.obs,
+    )
+    solution = jnp.where(
+        is_alloc, state.solution.at[a, op].set(state.time), state.solution
+    )
+    # clear sticky pins on the allocated machine (jss_env.py:464-467)
+    unpinned = is_alloc & state.pin[m, :]
+    noop_pin = state.noop_pin & ~unpinned
+    pin = jnp.where(is_alloc, state.pin.at[m, :].set(False), state.pin)
+
+    # --- no-op pre-updates (pin every legal job on its machine) ---
+    nm_clip = jnp.clip(state.needed_machine, 0, mp - 1)
+    pin_add = (
+        (jnp.arange(mp, dtype=jnp.int32)[:, None] == nm_clip[None, :])
+        & state.legal[None, :]
+        & is_noop
+    )
+    pin = pin | pin_add
+    noop_pin = noop_pin | (is_noop & state.legal)
+    ml_clear_noop = pin_add.any(axis=1)
+
+    legal = state.legal & ~kill_alloc & ~is_noop
+    nb_legal = jnp.where(
+        is_noop, 0, state.nb_legal - jnp.sum(kill_alloc, dtype=jnp.int32)
+    )
+    machine_legal = jnp.where(
+        is_noop,
+        state.machine_legal & ~ml_clear_noop,
+        _scatter_row(state.machine_legal, m, False, is_alloc),
+    )
+    nb_machine_legal = jnp.where(
+        is_noop, 0, state.nb_machine_legal - 1
+    )
+
+    state = state.replace(
+        legal=legal,
+        nb_legal=nb_legal,
+        machine_legal=machine_legal,
+        nb_machine_legal=nb_machine_legal,
+        machine_busy_for=machine_busy_for,
+        job_busy_for=job_busy_for,
+        obs=obs,
+        solution=solution,
+        pin=pin,
+        noop_pin=noop_pin,
+    )
+
+    # --- auto fast-forward until some machine is legal (jss_env.py:469-470,
+    # 429-430). The no-op branch of the reference has no queue-emptiness guard
+    # (it would crash on an empty queue); the ``any_busy`` conjunct makes that
+    # case terminate instead.
+    def ff_cond(carry):
+        s, _ = carry
+        return (s.nb_machine_legal == 0) & s.any_busy
+
+    def ff_body(carry):
+        s, holes = carry
+        s, h = advance_time(s)
+        return s, holes + h
+
+    state, holes = jax.lax.while_loop(ff_cond, ff_body, (state, jnp.int32(0)))
+    raw_reward = raw_reward - holes
+
+    # --- epilogue: heuristics + scaling (jss_env.py:431-433, 471-474) ---
+    state = prioritization_non_final(state)
+    state = check_no_op(state)
+    reward = raw_reward.astype(jnp.float32) / state.max_time_op.astype(jnp.float32)
+    return state, Transition(reward=reward, raw_reward=raw_reward, done=state.done)

@@ -1,0 +1,145 @@
+"""EnvState: the full simulator state as one struct-of-arrays JAX pytree.
+
+This is the TPU-native reformulation of the reference env's 13 state arrays +
+scalars (reference: JSSEnv/envs/jss_env.py:145-181, documented in SURVEY.md
+§2.2). Everything is a fixed-shape int32/bool/float32 array so that:
+
+* ``step``/``reset`` are pure functions of ``EnvState`` → jit/vmap/shard_map
+  compose over it directly;
+* the state of B envs is just the same pytree with a leading batch axis;
+* checkpoint/resume is a plain pytree save (orbax or ``numpy.savez``).
+
+The reference's variable-length event queue (``next_time_step``/``next_jobs``,
+jss_env.py:155-156) is deliberately NOT part of the state: the popped event
+always equals ``current_time + min(machine_busy_for where > 0)``, so the queue
+is reconstructed as a min-reduction (SURVEY.md §2.3.2). Padded lanes (ragged
+instance batches) are encoded by ``num_jobs``/``num_machines`` being smaller
+than the array dims; padded jobs look permanently finished and padded machines
+permanently free-and-unneeded.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EnvState:
+    """State of one job-shop scheduling env (or a batch, with a leading axis).
+
+    Static instance fields (unchanged across steps):
+      op_machine:    (J, M) int32  machine id of op k of job j  (padding: 0)
+      op_dur:        (J, M) int32  integer duration of op k of job j (padding: 0)
+      num_jobs:      ()  int32     real J for this env
+      num_machines:  ()  int32     real M for this env
+      max_time_op:   ()  int32     max single-op duration (obs/reward normalizer)
+      max_time_jobs: ()  int32     max total job work (obs normalizer)
+      sum_op:        ()  int32     total work in the instance (obs normalizer)
+
+    Dynamic fields (reference counterparts in parentheses):
+      time:            () int32     simulation clock (current_time_step)
+      legal:           (J,) bool    per-job action mask (legal_actions[:-1])
+      noop_legal:      () bool      no-op slot of the mask (legal_actions[-1])
+      nb_legal:        () int32     cached count of legal jobs (nb_legal_actions)
+      nb_machine_legal:() int32     cached count of legal machines
+      machine_legal:   (M,) bool    machine free AND has a legal candidate
+      solution:        (J, M) int32 op start times, -1 = unscheduled
+      machine_busy_for:(M,) int32   remaining busy time per machine
+                                    (time_until_available_machine)
+      job_busy_for:    (J,) int32   remaining time of a job's running op
+                                    (time_until_finish_current_op_jobs)
+      next_op:         (J,) int32   index of next op per job; == num_machines
+                                    when the job is finished (todo_time_step_job)
+      work_done:       (J,) int32   total performed work (total_perform_op_time_jobs)
+      needed_machine:  (J,) int32   machine of the job's current/next op, -1 when
+                                    finished (needed_machine_jobs)
+      idle_total:      (J,) int32   cumulative idle time (total_idle_time_jobs)
+      idle_since_op:   (J,) int32   idle since last op finished (idle_time_jobs_last_op)
+      pin:             (M, J) bool  sticky no-op pins (illegal_actions)
+      noop_pin:        (J,) bool    job currently no-op-pinned (action_illegal_no_op)
+      obs:             (J, 7) float32 normalized real_obs matrix (state)
+    """
+
+    # static instance data
+    op_machine: jax.Array
+    op_dur: jax.Array
+    num_jobs: jax.Array
+    num_machines: jax.Array
+    max_time_op: jax.Array
+    max_time_jobs: jax.Array
+    sum_op: jax.Array
+    # dynamic simulation state
+    time: jax.Array
+    legal: jax.Array
+    noop_legal: jax.Array
+    nb_legal: jax.Array
+    nb_machine_legal: jax.Array
+    machine_legal: jax.Array
+    solution: jax.Array
+    machine_busy_for: jax.Array
+    job_busy_for: jax.Array
+    next_op: jax.Array
+    work_done: jax.Array
+    needed_machine: jax.Array
+    idle_total: jax.Array
+    idle_since_op: jax.Array
+    pin: jax.Array
+    noop_pin: jax.Array
+    obs: jax.Array
+
+    # --- conveniences -----------------------------------------------------
+    @property
+    def jobs_pad(self) -> int:
+        return self.op_machine.shape[-2]
+
+    @property
+    def machines_pad(self) -> int:
+        return self.op_machine.shape[-1]
+
+    @property
+    def job_valid(self) -> jax.Array:
+        """(J,) bool — which job lanes are real (not padding)."""
+        return jnp.arange(self.jobs_pad, dtype=jnp.int32) < self.num_jobs
+
+    @property
+    def machine_valid(self) -> jax.Array:
+        """(M,) bool — which machine lanes are real (not padding)."""
+        return jnp.arange(self.machines_pad, dtype=jnp.int32) < self.num_machines
+
+    @property
+    def any_busy(self) -> jax.Array:
+        """() bool — event queue non-empty ⇔ some machine still busy."""
+        return jnp.any(self.machine_busy_for > 0)
+
+    @property
+    def next_event_time(self) -> jax.Array:
+        """() int32 — earliest future completion event (undefined if none busy).
+
+        Equals the head of the reference's sorted ``next_time_step`` list.
+        """
+        busy = self.machine_busy_for > 0
+        return self.time + jnp.min(
+            jnp.where(busy, self.machine_busy_for, jnp.iinfo(jnp.int32).max)
+        )
+
+    @property
+    def done(self) -> jax.Array:
+        """() bool — episode over (reference _is_done: nb_legal_actions == 0)."""
+        return self.nb_legal == 0
+
+    def action_mask(self) -> jax.Array:
+        """(J+1,) bool mask in reference layout: jobs then the no-op slot.
+
+        Note the no-op slot sits at padded index J (== jobs_pad), while the
+        *action id* for no-op remains ``num_jobs`` (see core.engine.step).
+        """
+        return jnp.concatenate([self.legal, self.noop_legal[None]])
+
+    def observation(self) -> dict:
+        """Reference-shaped observation dict (jss_env.py:121-134)."""
+        obs = self.obs.at[:, 0].set(self.legal.astype(self.obs.dtype))
+        return {"real_obs": obs, "action_mask": self.action_mask()}
