@@ -1,0 +1,100 @@
+"""Instance-layer tests: parsing, registry, padding, serialization."""
+
+import numpy as np
+import pytest
+
+from jssenv_tpu import instances as inst
+
+
+def test_bundled_registry_complete():
+    s = inst.bundled_instances()
+    assert len(s) == 85
+    names = set(s.names)
+    for i in range(1, 81):
+        assert f"ta{i:02d}" in names
+    for i in range(16, 21):
+        assert f"dmu{i}" in names
+
+
+@pytest.mark.parametrize(
+    "name,jobs,machines",
+    [
+        ("ta01", 15, 15),
+        ("ta11", 20, 15),
+        ("ta21", 20, 20),
+        ("ta31", 30, 15),
+        ("ta41", 30, 20),
+        ("ta51", 50, 15),
+        ("ta61", 50, 20),
+        ("ta71", 100, 20),
+        ("dmu16", 30, 20),
+    ],
+)
+def test_bundled_dims(name, jobs, machines):
+    spec = inst.get_instance(name)
+    assert spec.shape == (jobs, machines)
+
+
+def test_ta01_derived_scalars():
+    spec = inst.get_instance("ta01")
+    # values independently recomputable from the instance data
+    assert spec.max_time_op == int(spec.op_dur.max())
+    assert spec.sum_op == int(spec.op_dur.sum())
+    assert spec.max_time_jobs == int(spec.op_dur.sum(axis=1).max())
+    # every machine id appears exactly once per job (permutation property)
+    for j in range(spec.num_jobs):
+        assert sorted(spec.op_machine[j]) == list(range(spec.num_machines))
+
+
+def test_parse_roundtrip():
+    spec = inst.get_instance("ta05")
+    spec2 = inst.parse_taillard_text(spec.to_text(), name="rt")
+    assert np.array_equal(spec.op_machine, spec2.op_machine)
+    assert np.array_equal(spec.op_dur, spec2.op_dur)
+    assert spec2.shape == spec.shape
+
+
+def test_parse_rejects_malformed():
+    with pytest.raises(ValueError):
+        inst.parse_taillard_text("")
+    with pytest.raises(ValueError):
+        inst.parse_taillard_text("2 2\n0 5 1 4\n0 5\n")  # short job line
+    with pytest.raises(ValueError):
+        inst.parse_taillard_text("2 2\n0 5 9 4\n0 5 1 3\n")  # machine id range
+    with pytest.raises(ValueError):
+        inst.parse_taillard_text("2 2\n0 5 1 -4\n0 5 1 3\n")  # negative duration
+    with pytest.raises(ValueError):
+        # single machine (reference asserts machines > 1, jss_env.py:94)
+        inst.parse_taillard_text("1 1\n0 5\n")
+
+
+def test_unknown_instance():
+    with pytest.raises(FileNotFoundError):
+        inst.get_instance("ta99")
+
+
+def test_padding_and_stacking():
+    s = inst.get_instance_set(["ta01", "ta41"])
+    assert s.jobs_pad == 30 and s.machines_pad == 20
+    assert list(s.num_jobs) == [15, 30]
+    assert list(s.num_machines) == [15, 20]
+    # padded region is zero
+    assert s.op_dur[0, 15:, :].sum() == 0
+    assert s.op_dur[0, :, 15:].sum() == 0
+    # unpadded extraction matches the original
+    spec = inst.get_instance("ta01")
+    assert np.array_equal(s.spec("ta01").op_dur, spec.op_dur)
+
+
+def test_subset():
+    s = inst.bundled_instances().subset(["ta41", "ta42", "ta50"])
+    assert s.names == ("ta41", "ta42", "ta50")
+    assert len(s) == 3
+
+
+def test_load_from_file(tmp_path):
+    spec = inst.get_instance("ta02")
+    p = tmp_path / "my_instance"
+    p.write_text(spec.to_text())
+    spec2 = inst.get_instance(p)
+    assert np.array_equal(spec.op_dur, spec2.op_dur)

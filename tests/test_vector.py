@@ -1,0 +1,94 @@
+"""Batched/vmapped engine tests: lockstep batches, auto-reset, ragged sets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jssenv_tpu import instances as inst
+from jssenv_tpu import vector
+from jssenv_tpu.core import engine
+
+
+def test_batch_matches_single():
+    """Each lane of a batch must evolve exactly like a standalone env."""
+    spec = inst.get_instance("ta01")
+    B = 4
+    batch = vector.make_batch(spec, B)
+    singles = [engine.state_from_spec(spec) for _ in range(B)]
+    step = jax.jit(engine.step)
+    rng = np.random.default_rng(0)
+    for i in range(40):
+        actions = []
+        for b in range(B):
+            mask = np.asarray(singles[b].action_mask(), dtype=np.float64)
+            if not mask.any():
+                actions.append(0)
+                continue
+            a = rng.choice(len(mask), p=mask / mask.sum())
+            actions.append(spec.num_jobs if a == len(mask) - 1 else int(a))
+        new_singles = []
+        for b in range(B):
+            if bool(singles[b].done):
+                new_singles.append(singles[b])
+            else:
+                s, _ = step(singles[b], actions[b])
+                new_singles.append(s)
+        # avoid stepping done lanes in the batch too
+        done_mask = np.array([bool(s.done) for s in singles])
+        if done_mask.all():
+            break
+        stepped, _ = vector.vstep(batch, jnp.asarray(actions, jnp.int32))
+        batch = jax.tree.map(
+            lambda old, new: jnp.where(
+                jnp.asarray(done_mask).reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+            ),
+            batch,
+            stepped,
+        )
+        singles = new_singles
+        for b in range(B):
+            sb = jax.tree.map(lambda x: x[b], batch)
+            for leaf_a, leaf_b in zip(jax.tree.leaves(sb), jax.tree.leaves(singles[b])):
+                assert np.array_equal(np.asarray(leaf_a), np.asarray(leaf_b)), f"lane {b} step {i}"
+
+
+def test_rollout_autoreset_completes_episodes():
+    spec = inst.get_instance("ta01")
+    state = vector.make_batch(spec, 32)
+    state, stats = vector.rollout(jax.random.key(0), state, num_steps=600)
+    stats = jax.device_get(stats)
+    assert int(stats.episodes) > 0
+    avg = float(stats.total_makespan) / float(stats.episodes)
+    assert 1231 <= int(stats.min_makespan)  # cannot beat the optimum
+    assert avg < 3000  # random policy lands well under trivial serialization
+
+
+def test_episode_makespans_identity():
+    """Fixed-seed device rollout: every finished lane satisfies the episode
+    reward identity raw_return == 2*sum_op - machines*makespan, scaled."""
+    spec = inst.get_instance("ta01")
+    B = 16
+    state = vector.make_batch(spec, B)
+    state, ms, ret = vector.episode_makespans(
+        jax.random.key(1), state, max_steps=600
+    )
+    ms = np.asarray(ms)
+    ret = np.asarray(ret)
+    assert (ms > 0).all(), "all lanes should finish within 600 steps"
+    expected = (2 * spec.sum_op - spec.num_machines * ms.astype(np.int64)) / spec.max_time_op
+    assert np.allclose(ret, expected, atol=2e-3)
+
+
+def test_ragged_instance_batch():
+    """Mixed instance sizes batch under one jit shape and finish correctly."""
+    iset = inst.get_instance_set(["ta01", "ta41"])
+    B = 8
+    state = vector.make_batch(iset, B)
+    assert list(np.asarray(state.num_jobs)) == [15, 30] * 4
+    state, ms, _ = vector.episode_makespans(jax.random.key(2), state, max_steps=1500)
+    ms = np.asarray(ms)
+    assert (ms > 0).all()
+    # ta41 (30x20) lanes must take at least their optimum 2006; ta01 >= 1231
+    assert (ms[0::2] >= 1231).all()
+    assert (ms[1::2] >= 2006).all()
