@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Throughput benchmark: batched random-policy env stepping on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "env-steps/s", "vs_baseline": N}
+
+The baseline denominator is the reference implementation's measured single-core
+throughput on the same instance (ta01: ~8.4k env-steps/s, BASELINE.md). All
+diagnostics go to stderr; stdout carries only the JSON line.
+
+Usage: python bench.py [--instance ta01] [--batch 4096] [--steps 1024]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# reference throughput on one CPU core, measured in the survey session
+# (BASELINE.md "Reference throughput" rows)
+REFERENCE_STEPS_PER_S = {"ta01": 8400.0, "ta41": 5900.0, "ta71": 3300.0}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--instance", default="ta01")
+    p.add_argument("--batch", type=int, default=int(os.environ.get("JSS_BENCH_BATCH", 4096)))
+    p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 1024)))
+    p.add_argument("--warmup-steps", type=int, default=32)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+
+    from jssenv_tpu import instances as inst
+    from jssenv_tpu import vector
+
+    backend = jax.default_backend()
+    if backend == "cpu" and "JSS_BENCH_BATCH" not in os.environ:
+        # CPU fallback (no chip attached): keep the run short
+        args.batch = min(args.batch, 512)
+        args.steps = min(args.steps, 256)
+    log(f"backend={backend} devices={jax.devices()}")
+    log(f"instance={args.instance} batch={args.batch} steps={args.steps}")
+
+    spec = inst.get_instance(args.instance)
+    state = vector.make_batch(spec, args.batch)
+
+    # compile + warmup
+    t0 = time.time()
+    wstate, wstats = vector.rollout(jax.random.key(0), state, num_steps=args.warmup_steps)
+    jax.block_until_ready(wstate)
+    log(f"compile+warmup: {time.time() - t0:.1f}s")
+
+    best = 0.0
+    for r in range(args.repeats):
+        t0 = time.time()
+        out_state, stats = vector.rollout(
+            jax.random.key(r + 1), state, num_steps=args.steps
+        )
+        jax.block_until_ready(out_state)
+        dt = time.time() - t0
+        sps = args.batch * args.steps / dt
+        stats = jax.device_get(stats)
+        eps = int(stats.episodes)
+        avg_ms = float(stats.total_makespan) / eps if eps else float("nan")
+        log(
+            f"repeat {r}: {sps:,.0f} env-steps/s ({dt:.2f}s, {eps} episodes, "
+            f"avg makespan {avg_ms:.0f}, min {int(stats.min_makespan)})"
+        )
+        best = max(best, sps)
+
+    ref = REFERENCE_STEPS_PER_S.get(args.instance, REFERENCE_STEPS_PER_S["ta01"])
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s per chip, batched {args.instance}, random policy",
+                "value": round(best, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(best / ref, 2),
+                "backend": backend,
+                "batch": args.batch,
+                "steps": args.steps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

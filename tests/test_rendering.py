@@ -1,0 +1,71 @@
+"""Rendering tests: record schema, figure generation, and the GIF workflow
+(reference tests/test_rendering.py drives the ta01 optimal replay and writes a
+GIF; same here, with the matplotlib backend since plotly is optional)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from jssenv_tpu.envs.gym_env import JssEnv
+from jssenv_tpu.render import gantt
+
+_DATA = os.path.join(os.path.dirname(__file__), "data", "golden_solutions.json")
+
+
+def test_render_none_before_any_allocation():
+    env = JssEnv({"instance_path": "ta01"})
+    env.reset()
+    assert env.render() is None
+
+
+def test_schedule_records_schema():
+    env = JssEnv({"instance_path": "ta01"})
+    env.reset()
+    env.step(3)
+    recs = gantt.schedule_records(
+        env.solution, env.instance_matrix[..., 0], env.instance_matrix[..., 1],
+        env.start_timestamp,
+    )
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["Task"] == "Job 3"
+    assert r["Resource"].startswith("Machine ")
+    assert (r["Finish"] - r["Start"]).total_seconds() == env.instance_matrix[3][0][1]
+
+
+def test_render_and_gif(tmp_path):
+    with open(_DATA) as f:
+        entry = json.load(f)["ta01"]
+    env = JssEnv({"instance_path": "ta01"})
+    env.reset()
+    seq = entry["machine_order"]
+    idx = [0] * env.machines
+    frames = []
+    done = False
+    steps = 0
+    while not done and steps < 40:  # a prefix is enough for the GIF smoke
+        acted = False
+        for m in range(env.machines):
+            if done:
+                break
+            if env.machine_legal[m] and idx[m] < env.jobs:
+                a = seq[m][idx[m]]
+                if env.needed_machine_jobs[a] == m and env.legal_actions[a]:
+                    _, _, done, _, _ = env.step(a)
+                    idx[m] += 1
+                    acted = True
+                    steps += 1
+                    fig = env.render()
+                    assert fig is not None
+                    frames.append(gantt.figure_to_rgb(fig))
+                    import matplotlib.pyplot as plt
+
+                    plt.close(fig)
+        if not acted and not done:
+            env.increase_time_step()
+    assert len(frames) >= 10
+    out = tmp_path / "ta01.gif"
+    gantt.schedule_frames_gif(frames, str(out))
+    assert out.exists() and out.stat().st_size > 1000
