@@ -1,0 +1,77 @@
+"""Checkpoint / resume: any engine or learner pytree to disk and back.
+
+The reference has no checkpoint subsystem, but its state is trivially
+serializable (SURVEY.md §5.4). Here the entire simulator/train state IS one
+pytree of arrays, so checkpointing is a flat named-array save. Two backends:
+
+* ``save``/``load`` — dependency-free ``numpy.savez`` of the flattened pytree
+  (path-keyed), suitable for single-host snapshots;
+* ``save_orbax``/``load_orbax`` — orbax-checkpoint for sharded/multi-host
+  state when orbax is available.
+
+``load`` restores INTO a template pytree (same treedef), which re-establishes
+dtypes, shapes and any sharding of the template.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten_with_names(tree: Any):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    names = []
+    for path, _ in flat:
+        names.append(jax.tree_util.keystr(path))
+    return names, [leaf for _, leaf in flat], treedef
+
+
+def save(path: str, tree: Any) -> None:
+    """Save a pytree of arrays as one compressed npz."""
+    names, leaves, _ = _flatten_with_names(tree)
+    arrays = {f"leaf_{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
+    arrays["__names__"] = np.asarray(names)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load(path: str, template: Any) -> Any:
+    """Restore a pytree saved by ``save`` into the structure (and device
+    placement) of ``template``."""
+    names_t, leaves_t, treedef = _flatten_with_names(template)
+    with np.load(path, allow_pickle=False) as z:
+        names_s = [str(n) for n in z["__names__"]]
+        if names_s != names_t:
+            raise ValueError(
+                "checkpoint structure mismatch: "
+                f"saved {len(names_s)} leaves, template {len(names_t)}"
+            )
+        new_leaves = []
+        for i, (tmpl, name) in enumerate(zip(leaves_t, names_t)):
+            arr = z[f"leaf_{i}"]
+            if hasattr(tmpl, "sharding"):
+                new_leaves.append(
+                    jax.device_put(arr.astype(tmpl.dtype), tmpl.sharding)
+                )
+            else:
+                new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_orbax(path: str, tree: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)

@@ -1,0 +1,293 @@
+"""Sharded actor-learner: batched env rollouts feeding a policy-gradient
+learner, entirely on device (BASELINE.json config #5).
+
+One jitted ``train_step`` = T-step on-policy rollout (vmapped envs, auto-reset)
++ returns computation + REINFORCE-with-baseline update. Parallelism layout:
+
+* env batch axis  -> ``dp`` mesh axis (pure data placement, no communication);
+* model hidden dim -> optional ``mp`` mesh axis (Megatron-style column/row
+  parallel Dense pair, see ``partition_params``);
+* gradient reduction across ``dp`` and the row-parallel matmul reduction
+  across ``mp`` are inserted by XLA as ICI collectives from the sharding
+  annotations — no hand-written NCCL-style code anywhere.
+
+The reference has no learner; its README delegates RL training to external
+RLlib examples. This module is the TPU-native equivalent of that training
+setup, co-designed with the engine so observations never leave the device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jssenv_tpu import vector
+from jssenv_tpu.core.state import EnvState
+from jssenv_tpu.models.policy import MaskedPolicyNet, sample_action
+
+
+@struct.dataclass
+class LearnerConfig:
+    unroll_steps: int = struct.field(pytree_node=False, default=32)
+    gamma: float = struct.field(pytree_node=False, default=0.99)
+    learning_rate: float = struct.field(pytree_node=False, default=3e-4)
+    value_coef: float = struct.field(pytree_node=False, default=0.5)
+    entropy_coef: float = struct.field(pytree_node=False, default=0.01)
+    hidden: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    rng: jax.Array
+    steps: jax.Array  # () int32 — learner updates applied
+
+
+def make_model(state: EnvState, config: LearnerConfig) -> MaskedPolicyNet:
+    return MaskedPolicyNet(
+        num_actions=state.jobs_pad + 1, hidden=config.hidden
+    )
+
+
+def make_optimizer(config: LearnerConfig) -> optax.GradientTransformation:
+    return optax.adam(config.learning_rate)
+
+
+def init_train_state(
+    rng: jax.Array, env_state: EnvState, config: LearnerConfig
+) -> TrainState:
+    """env_state: batched (B, ...) EnvState."""
+    model = make_model(env_state, config)
+    obs0 = env_state.obs[0]
+    mask0 = jax.vmap(EnvState.action_mask)(env_state)[0]
+    params = model.init(rng, obs0, mask0)
+    opt_state = make_optimizer(config).init(params)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        env_state=env_state,
+        rng=rng,
+        steps=jnp.int32(0),
+    )
+
+
+def _policy_rollout(model, params, env_state, rng, config):
+    """Collect an on-policy T-step trajectory with auto-reset."""
+
+    def body(carry, _):
+        env_state, rng, stats = carry
+        rng, sub = jax.random.split(rng)
+        obs = jax.vmap(lambda s: s.observation()["real_obs"])(env_state)
+        mask = jax.vmap(EnvState.action_mask)(env_state)
+        logits, value = model.apply(params, obs, mask)
+        action_idx, _ = sample_action(sub, logits)
+        # padded no-op slot (index jobs_pad) -> env no-op action id (num_jobs)
+        actions = jnp.where(
+            action_idx == env_state.jobs_pad, env_state.num_jobs, action_idx
+        )
+        env_state, tr, stats = vector.step_autoreset(env_state, actions, stats)
+        frame = dict(
+            obs=obs, mask=mask, action=action_idx, reward=tr.reward, done=tr.done
+        )
+        return (env_state, rng, stats), frame
+
+    (env_state, rng, stats), traj = jax.lax.scan(
+        body,
+        (env_state, rng, vector.RolloutStats.zero()),
+        None,
+        length=config.unroll_steps,
+    )
+    return env_state, rng, stats, traj
+
+
+def _returns(traj, config):
+    """Discounted returns-to-go with episode-boundary resets."""
+
+    def body(carry, frame):
+        ret = frame["reward"] + config.gamma * carry * (1.0 - frame["done"])
+        return ret, ret
+
+    _, rets = jax.lax.scan(
+        body,
+        jnp.zeros_like(traj["reward"][0]),
+        traj,
+        reverse=True,
+    )
+    return rets
+
+
+def make_train_step(
+    config: LearnerConfig,
+) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    """Build the jittable train step (close over static config)."""
+
+    optimizer = make_optimizer(config)
+
+    def train_step(ts: TrainState) -> Tuple[TrainState, dict]:
+        model = make_model(ts.env_state, config)
+        rng, roll_rng = jax.random.split(ts.rng)
+        env_state, _, stats, traj = _policy_rollout(
+            model, ts.params, ts.env_state, roll_rng, config
+        )
+        rets = _returns(traj, config)
+
+        def loss_fn(params):
+            logits, values = model.apply(params, traj["obs"], traj["mask"])
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            logp = jnp.take_along_axis(
+                logp_all, traj["action"][..., None], axis=-1
+            )[..., 0]
+            adv = jax.lax.stop_gradient(rets - values)
+            pg_loss = -jnp.mean(logp * adv)
+            v_loss = jnp.mean((values - rets) ** 2)
+            # entropy over legal actions only; sanitize the -inf logits BEFORE
+            # multiplying so the masked branch carries no NaN into the gradient
+            safe_logp = jnp.where(traj["mask"], logp_all, 0.0)
+            probs = jnp.where(traj["mask"], jnp.exp(safe_logp), 0.0)
+            ent = -jnp.mean(jnp.sum(probs * safe_logp, axis=-1))
+            loss = pg_loss + config.value_coef * v_loss - config.entropy_coef * ent
+            return loss, dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        metrics = dict(
+            loss=loss,
+            episodes=stats.episodes,
+            total_makespan=stats.total_makespan,
+            min_makespan=stats.min_makespan,
+            **aux,
+        )
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                env_state=env_state,
+                rng=rng,
+                steps=ts.steps + 1,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# sharding layout
+# ---------------------------------------------------------------------------
+
+
+def partition_params(params, mesh: Mesh, mp_axis: str = "mp"):
+    """Megatron-style tensor-parallel placement for the policy MLP.
+
+    trunk_0 is column-parallel (kernel (in, h) -> P(None, mp), bias P(mp));
+    trunk_1 is row-parallel (kernel (h, h') -> P(mp, None), bias replicated);
+    heads are replicated. XLA inserts the psum for the row-parallel matmul.
+    """
+
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        name = "/".join(names)
+        if "trunk_0" in name and leaf.ndim == 2:
+            return P(None, mp_axis)
+        if "trunk_0" in name and leaf.ndim == 1:
+            return P(mp_axis)
+        if "trunk_1" in name and leaf.ndim == 2:
+            return P(mp_axis, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(
+            leaf, NamedSharding(mesh, spec_for(path, leaf))
+        ),
+        params,
+    )
+
+
+def shard_train_state(
+    ts: TrainState, mesh: Mesh, dp_axis: str = "dp", mp_axis: Optional[str] = None
+) -> TrainState:
+    """Place a TrainState on the mesh: envs split over dp, params replicated
+    (or tensor-parallel over mp when given), optimizer state mirroring params."""
+    env_sharding = NamedSharding(mesh, P(dp_axis))
+    env_state = jax.device_put(ts.env_state, env_sharding)
+    if mp_axis is not None:
+        params = partition_params(ts.params, mesh, mp_axis)
+        opt_state = jax.tree.map(
+            lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P()))
+            if leaf.ndim == 0
+            else leaf,
+            ts.opt_state,
+            is_leaf=lambda x: hasattr(x, "ndim"),
+        )
+        # adam moments follow the param layout
+        opt_state = jax.tree.map(lambda l: l, opt_state)
+    else:
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(ts.params, rep)
+        opt_state = jax.device_put(ts.opt_state, rep)
+    rng = jax.device_put(ts.rng, NamedSharding(mesh, P()))
+    steps = jax.device_put(ts.steps, NamedSharding(mesh, P()))
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        env_state=env_state,
+        rng=rng,
+        steps=steps,
+    )
+
+
+def train(
+    source,
+    batch_size: int = 1024,
+    num_updates: int = 100,
+    config: Optional[LearnerConfig] = None,
+    mesh: Optional[Mesh] = None,
+    seed: int = 0,
+    log_every: int = 10,
+    log_fn=print,
+):
+    """Host convenience loop: build envs, shard, and run train steps."""
+    config = config or LearnerConfig()
+    env_state = vector.make_batch(source, batch_size)
+    rng = jax.random.key(seed)
+    ts = init_train_state(rng, env_state, config)
+    if mesh is not None:
+        ts = shard_train_state(ts, mesh)
+    # no donation: freshly-initialized states can alias identical zero
+    # constants across leaves, and donating the same buffer twice is an error
+    step = jax.jit(make_train_step(config))
+    history = []
+    # episodes finish in lockstep bursts every ~(episode_len / unroll_steps)
+    # updates, so accumulate between log points instead of sampling one update
+    acc_eps, acc_ms = 0, 0
+    for i in range(num_updates):
+        ts, metrics = step(ts)
+        m = jax.device_get(metrics)
+        acc_eps += int(m["episodes"])
+        acc_ms += int(m["total_makespan"])
+        if (i + 1) % log_every == 0 or i + 1 == num_updates:
+            avg_ms = acc_ms / acc_eps if acc_eps else float("nan")
+            history.append(
+                dict(
+                    update=i + 1,
+                    loss=float(m["loss"]),
+                    episodes=acc_eps,
+                    avg_makespan=avg_ms,
+                )
+            )
+            log_fn(
+                f"update {i + 1}: loss={float(m['loss']):.4f} "
+                f"episodes={acc_eps} avg_makespan={avg_ms:.0f} "
+                f"entropy={float(m['entropy']):.3f}"
+            )
+            acc_eps, acc_ms = 0, 0
+    return ts, history

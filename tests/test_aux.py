@@ -1,0 +1,81 @@
+"""Aux subsystem tests: checkpoint/resume, diagnostics, multihost fallbacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jssenv_tpu import checkpoint, diagnostics, instances as inst, vector
+from jssenv_tpu.core import engine
+from jssenv_tpu.parallel import multihost
+
+
+def test_checkpoint_roundtrip_env_state(tmp_path):
+    spec = inst.get_instance("ta01")
+    state = engine.state_from_spec(spec)
+    step = jax.jit(engine.step)
+    for a in [0, 3, 7]:
+        state, _ = step(state, a)
+    p = str(tmp_path / "state.npz")
+    checkpoint.save(p, state)
+    template = engine.state_from_spec(spec)
+    restored = checkpoint.load(p, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # resume: both continue identically
+    s1, t1 = step(state, 5)
+    s2, t2 = step(restored, 5)
+    assert int(t1.raw_reward) == int(t2.raw_reward)
+    assert int(s1.time) == int(s2.time)
+
+
+def test_checkpoint_structure_mismatch(tmp_path):
+    spec = inst.get_instance("ta01")
+    state = engine.state_from_spec(spec)
+    p = str(tmp_path / "state.npz")
+    checkpoint.save(p, state)
+    with pytest.raises(ValueError):
+        checkpoint.load(p, {"wrong": jnp.zeros(3)})
+
+
+def test_invariant_checker_accepts_valid_states():
+    spec = inst.get_instance("ta01")
+    state = vector.make_batch(spec, 8)
+    diagnostics.check_state_invariants(state)
+    state, _ = vector.vstep(state, jnp.zeros(8, jnp.int32))
+    diagnostics.check_state_invariants(state)
+    assert int(jax.vmap(diagnostics.invariant_errors)(state).max()) == 0
+
+
+def test_invariant_checker_flags_corruption():
+    spec = inst.get_instance("ta01")
+    state = engine.state_from_spec(spec)
+    bad = state.replace(nb_legal=state.nb_legal + 1)
+    with pytest.raises(AssertionError):
+        diagnostics.check_state_invariants(bad)
+    assert int(diagnostics.invariant_errors(bad)) & 2
+
+
+def test_throughput_meter():
+    m = diagnostics.Throughput()
+    m.update(100)
+    assert m.steps == 100 and m.steps_per_s > 0
+
+
+def test_multihost_single_process_fallback():
+    """With process_count == 1 the multihost path equals the local path."""
+    multihost.initialize()  # no-op single host
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == 8
+    state = multihost.host_sharded_batch(inst.get_instance("ta01"), 16, mesh)
+    assert state.time.shape == (16,)
+    assert len(state.time.sharding.device_set) == 8
+    _, stats = multihost.multihost_rollout(jax.random.key(0), state, 64)
+    assert int(jax.device_get(stats).episodes) >= 0
+    diagnostics.check_state_invariants(state)
+
+
+def test_multihost_ragged_tiling():
+    iset = inst.get_instance_set(["ta01", "ta41"])
+    state = multihost.host_sharded_batch(iset, 8)
+    assert list(np.asarray(state.num_jobs)) == [15, 30] * 4
