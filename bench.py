@@ -39,6 +39,11 @@ def main() -> None:
 
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_jssenv"),
+    )
+
     from jssenv_tpu import instances as inst
     from jssenv_tpu import vector
 
@@ -61,12 +66,16 @@ def main() -> None:
 
     best = 0.0
     for r in range(args.repeats):
-        t0 = time.time()
-        out_state, stats = vector.rollout(
-            jax.random.key(r + 1), state, num_steps=args.steps
-        )
-        jax.block_until_ready(out_state)
-        dt = time.time() - t0
+        try:
+            t0 = time.time()
+            out_state, stats = vector.rollout(
+                jax.random.key(r + 1), state, num_steps=args.steps
+            )
+            jax.block_until_ready(out_state)
+            dt = time.time() - t0
+        except jax.errors.JaxRuntimeError as e:  # flaky device/tunnel
+            log(f"repeat {r}: device error ({e}); continuing")
+            continue
         sps = args.batch * args.steps / dt
         stats = jax.device_get(stats)
         eps = int(stats.episodes)

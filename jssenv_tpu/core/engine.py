@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from jssenv_tpu.core import ops
 from jssenv_tpu.core.state import EnvState
 from jssenv_tpu.instances import InstanceSpec
 
@@ -168,9 +169,7 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     next_op = state.next_op + completed.astype(jnp.int32)
     finished_now = completed & (next_op == state.num_machines)
     continues = completed & (next_op < state.num_machines)
-    next_machine = jnp.take_along_axis(
-        state.op_machine, jnp.clip(next_op, 0, mp - 1)[:, None], axis=1
-    )[:, 0]
+    next_machine = ops.row_gather(state.op_machine, jnp.clip(next_op, 0, mp - 1))
     needed_machine = jnp.where(
         continues, next_machine, jnp.where(finished_now, -1, state.needed_machine)
     )
@@ -212,7 +211,7 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     # sentinel for finished jobs (jss_env.py:586)
     wait_next = jnp.maximum(
         0,
-        state.machine_busy_for[jnp.clip(needed_machine, 0, mp - 1)] - diff,
+        ops.lookup(state.machine_busy_for, jnp.clip(needed_machine, 0, mp - 1)) - diff,
     )
     obs = obs.at[:, 4].set(
         jnp.where(
@@ -237,16 +236,14 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     cand = (
         any_busy
         & (needed_machine >= 0)
-        & free[nm_clip]
+        & ops.lookup(free, nm_clip)
         & ~legal
-        & ~state.pin[nm_clip, j_idx]
+        & ~ops.lookup2d_col(state.pin, nm_clip)
         & state.job_valid
     )
     legal = legal | cand
     nb_legal = nb_legal + jnp.sum(cand, dtype=jnp.int32)
-    ml_add = (
-        jnp.zeros((mp,), jnp.int32).at[nm_clip].max(cand.astype(jnp.int32)) > 0
-    )
+    ml_add = ops.segment_any(nm_clip, cand, mp)
     nb_machine_legal = state.nb_machine_legal + jnp.sum(
         ml_add & ~state.machine_legal, dtype=jnp.int32
     )
@@ -286,25 +283,23 @@ def prioritization_non_final(state: EnvState) -> EnvState:
     jp, mp = state.jobs_pad, state.machines_pad
     m_of = jnp.clip(state.needed_machine, 0, mp - 1)
     cand = state.legal & (state.needed_machine >= 0)
-    gate = state.machine_legal[m_of]
+    gate = ops.lookup(state.machine_legal, m_of)
     op_clip = jnp.clip(state.next_op, 0, mp - 1)
-    dur_cur = jnp.take_along_axis(state.op_dur, op_clip[:, None], axis=1)[:, 0]
+    dur_cur = ops.row_gather(state.op_dur, op_clip)
     is_final = state.next_op == (state.num_machines - 1)
-    next_m = jnp.take_along_axis(
-        state.op_machine, jnp.clip(state.next_op + 1, 0, mp - 1)[:, None], axis=1
-    )[:, 0]
+    next_m = ops.row_gather(state.op_machine, jnp.clip(state.next_op + 1, 0, mp - 1))
     eligible_nf = (
-        cand & gate & ~is_final & (state.machine_busy_for[next_m] == 0)
+        cand & gate & ~is_final & (ops.lookup(state.machine_busy_for, next_m) == 0)
     )
-    min_nf = (
-        jnp.full((mp,), _I32_MAX, jnp.int32)
-        .at[m_of]
-        .min(jnp.where(eligible_nf, dur_cur, _I32_MAX))
+    min_nf = ops.segment_min(m_of, dur_cur, eligible_nf, mp)
+    has_nf = ops.segment_any(m_of, eligible_nf, mp)
+    kill = (
+        cand
+        & gate
+        & is_final
+        & ops.lookup(has_nf, m_of)
+        & (dur_cur > ops.lookup(min_nf, m_of))
     )
-    has_nf = (
-        jnp.zeros((mp,), jnp.int32).at[m_of].max(eligible_nf.astype(jnp.int32)) > 0
-    )
-    kill = cand & gate & is_final & has_nf[m_of] & (dur_cur > min_nf[m_of])
     return state.replace(
         legal=state.legal & ~kill,
         nb_legal=state.nb_legal - jnp.sum(kill, dtype=jnp.int32),
@@ -341,8 +336,8 @@ def check_no_op(state: EnvState) -> EnvState:
     # ---- pass 1: horizons from legal jobs (jss_env.py:304-321) ----
     lj = state.legal
     op_clip = jnp.clip(state.next_op, 0, mp - 1)
-    m1 = jnp.take_along_axis(state.op_machine, op_clip[:, None], axis=1)[:, 0]
-    t1 = jnp.take_along_axis(state.op_dur, op_clip[:, None], axis=1)[:, 0]
+    m1 = ops.row_gather(state.op_machine, op_clip)
+    t1 = ops.row_gather(state.op_dur, op_clip)
     end = state.time + t1
     early_out = jnp.any(lj & (end < next_ev))
     cap = state.time + state.max_time_op
@@ -359,12 +354,7 @@ def check_no_op(state: EnvState) -> EnvState:
     max_horizon = jnp.maximum(state.time, max_horizon)
 
     # final per-machine horizon used by pass 2
-    mh = jnp.minimum(
-        cap,
-        jnp.full((mp,), _I32_MAX, jnp.int32)
-        .at[m1]
-        .min(jnp.where(lj, end, _I32_MAX)),
-    )
+    mh = jnp.minimum(cap, ops.segment_min(m1, end, lj, mp))
 
     # ---- pass 2: op-chain walk of illegal jobs (jss_env.py:323-401) ----
     illegal = ~state.legal & state.job_valid
@@ -374,15 +364,15 @@ def check_no_op(state: EnvState) -> EnvState:
     tn0 = jnp.where(
         case1,
         state.time + state.job_busy_for,
-        state.time + state.machine_busy_for[jnp.clip(m1, 0, mp - 1)],
+        state.time + ops.lookup(state.machine_busy_for, jnp.clip(m1, 0, mp - 1)),
     )
     active = case1 | case2
 
     k = jnp.arange(mp - 1, dtype=jnp.int32)  # walk positions, ≤ machines-1 steps
     pos = start[:, None] + k[None, :]  # (J, M-1)
     pos_clip = jnp.clip(pos, 0, mp - 1)
-    dur_seq = jnp.take_along_axis(state.op_dur, pos_clip, axis=1)
-    m_seq = jnp.take_along_axis(state.op_machine, pos_clip, axis=1)
+    dur_seq = ops.rows_gather(state.op_dur, pos_clip)
+    m_seq = ops.rows_gather(state.op_machine, pos_clip)
     csum = jnp.cumsum(dur_seq, axis=1)
     tn = tn0[:, None] + jnp.concatenate(
         [jnp.zeros((jp, 1), jnp.int32), csum[:, :-1]], axis=1
@@ -392,10 +382,8 @@ def check_no_op(state: EnvState) -> EnvState:
         & (pos < state.num_machines - 1)
         & (max_horizon > tn)
     )
-    add = ok & (mh[m_seq] > tn) & state.machine_legal[m_seq]
-    covered = (
-        jnp.zeros((mp,), jnp.int32).at[m_seq].max(add.astype(jnp.int32)) > 0
-    )
+    add = ok & (ops.lookup(mh, m_seq) > tn) & ops.lookup(state.machine_legal, m_seq)
+    covered = ops.segment_any(m_seq, add, mp)
     all_covered = jnp.all(covered | ~state.machine_legal)
     noop = gate & ~early_out & (state.nb_machine_legal > 0) & all_covered
     return state.replace(noop_legal=noop)
