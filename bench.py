@@ -9,6 +9,9 @@ throughput on the same instance (ta01: ~8.4k env-steps/s, BASELINE.md). All
 diagnostics go to stderr; stdout carries only the JSON line.
 
 Usage: python bench.py [--instance ta01] [--batch 4096] [--steps 1024]
+
+--instance also accepts a comma list or a range ("ta41-ta50"): the batch then
+tiles the instance set round-robin under one jit shape (BASELINE config #4).
 """
 
 import argparse
@@ -26,6 +29,21 @@ REFERENCE_STEPS_PER_S = {"ta01": 8400.0, "ta41": 5900.0, "ta71": 3300.0}
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def parse_instances(spec: str):
+    """"ta01" | "ta01,ta02" | "ta41-ta50" -> list of names."""
+    names = []
+    for part in spec.split(","):
+        part = part.strip()
+        if "-" in part[3:]:
+            lo, hi = part.split("-")
+            prefix = lo.rstrip("0123456789")
+            a, b = int(lo[len(prefix):]), int(hi[len(prefix):])
+            names.extend(f"{prefix}{i:0{len(lo)-len(prefix)}d}" for i in range(a, b + 1))
+        else:
+            names.append(part)
+    return names
 
 
 def main() -> None:
@@ -55,8 +73,12 @@ def main() -> None:
     log(f"backend={backend} devices={jax.devices()}")
     log(f"instance={args.instance} batch={args.batch} steps={args.steps}")
 
-    spec = inst.get_instance(args.instance)
-    state = vector.make_batch(spec, args.batch)
+    names = parse_instances(args.instance)
+    if len(names) == 1:
+        source = inst.get_instance(names[0])
+    else:
+        source = inst.get_instance_set(names)
+    state = vector.make_batch(source, args.batch)
 
     # compile + warmup
     t0 = time.time()

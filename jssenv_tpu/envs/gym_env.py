@@ -207,9 +207,13 @@ class JssEnv(_BASE):
     def get_legal_actions(self) -> np.ndarray:
         return self.legal_actions
 
-    def reset(self) -> Dict[str, np.ndarray]:
-        """Old-gym-style reset: returns the observation dict only
-        (reference parity, SURVEY.md §2.3.1)."""
+    def reset(self, seed=None, options=None) -> Dict[str, np.ndarray]:
+        """Old-gym-style reset: returns the observation dict only (reference
+        parity, SURVEY.md §2.3.1). ``seed``/``options`` are accepted so
+        gymnasium's wrapper stack (gym.make's passive checker) can call this —
+        the reference rejects them and therefore cannot run through gym.make on
+        gymnasium >= 1.0 — but they are ignored: the env has no stochasticity
+        to seed."""
         self.engine_state = engine.reset(self.engine_state)
         self._invalidate()
         return self._observation()

@@ -70,7 +70,8 @@ def render_schedule(
     if backend in ("auto", "plotly"):
         try:
             return _render_plotly(records, colors)
-        except ImportError:
+        except (ImportError, AttributeError):
+            # AttributeError covers stubbed/partial plotly installs
             if backend == "plotly":
                 raise
     return _render_matplotlib(solution, op_machine, op_dur, colors)

@@ -29,6 +29,15 @@ def load_reference_env_class():
         from JSSEnv.envs.jss_env import JssEnv  # noqa: E501
     except Exception:
         return None
+    # importing the JSSEnv package re-registers "jss-v1" to the reference env;
+    # point it back at ours so gym.make tests see the right class
+    try:
+        from gymnasium.envs.registration import register, registry
+
+        registry.pop("jss-v1", None)
+        register(id="jss-v1", entry_point="jssenv_tpu.envs.gym_env:JssEnv")
+    except ImportError:
+        pass
     return JssEnv
 
 

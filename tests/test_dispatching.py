@@ -61,6 +61,18 @@ def test_batched_compare_rules():
         assert np.isfinite(r["avg_reward"]), name
 
 
+def test_batched_compare_rules_over_instance_suite():
+    """BASELINE config #3: compare_rules over ta01-ta10, batched on device —
+    the 10 instances tile the episode lanes under one jit shape."""
+    iset = inst.get_instance_set([f"ta{i:02d}" for i in range(1, 11)])
+    res = dsp.compare_rules_batched(
+        iset, rules=["SPT", "MOR"], num_episodes=10, explore_prob=0.0
+    )
+    # ta01-ta10 optima are all >= 1200ish; any valid schedule is >= optimum
+    for name, r in res.items():
+        assert r["avg_makespan"] >= 1200, name
+
+
 # ---------------------------------------------------------------------------
 # differential parity vs the reference rules (exploration coin disabled)
 # ---------------------------------------------------------------------------
