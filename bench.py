@@ -50,7 +50,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--instance", default="ta01")
     p.add_argument("--batch", type=int, default=int(os.environ.get("JSS_BENCH_BATCH", 4096)))
-    p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 1024)))
+    p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 512)))
     p.add_argument("--warmup-steps", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()

@@ -17,7 +17,6 @@ stepwise against the reference implementation.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -16,7 +16,6 @@ most a (M, J) or (J, M) temporary per call — negligible next to the batch axis
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

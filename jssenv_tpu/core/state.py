@@ -20,8 +20,6 @@ permanently free-and-unneeded.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

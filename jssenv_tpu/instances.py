@@ -25,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Iterable, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -285,3 +285,49 @@ def get_instance_set(
     """Build a padded, stacked set from bundled names and/or file paths."""
     specs = [get_instance(n) for n in names]
     return stack_instances(specs, jobs_pad=jobs_pad, machines_pad=machines_pad)
+
+
+def random_instance(
+    num_jobs: int,
+    num_machines: int,
+    duration_range: Tuple[int, int] = (1, 99),
+    seed: int = 0,
+    name: Optional[str] = None,
+) -> InstanceSpec:
+    """Generate a random JSSP instance in the Taillard style: each job visits
+    every machine exactly once in a uniformly-random order, with integer
+    durations drawn uniformly from ``duration_range`` (inclusive) — the
+    distribution Taillard's benchmark generator used. Useful for training-set
+    diversity beyond the 85 bundled instances.
+    """
+    lo, hi = duration_range
+    if not (0 < lo <= hi):
+        raise ValueError("duration_range must satisfy 0 < lo <= hi")
+    rng = np.random.default_rng(seed)
+    op_machine = np.stack(
+        [rng.permutation(num_machines) for _ in range(num_jobs)]
+    ).astype(np.int32)
+    op_dur = rng.integers(lo, hi + 1, size=(num_jobs, num_machines)).astype(np.int32)
+    return InstanceSpec(
+        name=name or f"random_{num_jobs}x{num_machines}_s{seed}",
+        num_jobs=num_jobs,
+        num_machines=num_machines,
+        op_machine=op_machine,
+        op_dur=op_dur,
+    )
+
+
+def random_instance_set(
+    count: int,
+    num_jobs: int,
+    num_machines: int,
+    duration_range: Tuple[int, int] = (1, 99),
+    seed: int = 0,
+) -> InstanceSet:
+    """A stacked set of ``count`` random instances (seeds seed..seed+count-1)."""
+    return stack_instances(
+        [
+            random_instance(num_jobs, num_machines, duration_range, seed=seed + i)
+            for i in range(count)
+        ]
+    )

@@ -18,7 +18,6 @@ setup, co-designed with the engine so observations never leave the device.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax

@@ -16,7 +16,7 @@ the plain single-host behavior, so the same driver script runs anywhere.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Union
+from typing import Optional, Union
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ Key entry points:
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple, Union
+from typing import Callable, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -92,6 +92,35 @@ def test_subset():
     assert len(s) == 3
 
 
+def test_random_instance_generator():
+    spec = inst.random_instance(10, 6, duration_range=(5, 20), seed=3)
+    assert spec.shape == (10, 6)
+    for j in range(10):
+        assert sorted(spec.op_machine[j]) == list(range(6))  # permutation per job
+    assert spec.op_dur.min() >= 5 and spec.op_dur.max() <= 20
+    # deterministic per seed
+    spec2 = inst.random_instance(10, 6, duration_range=(5, 20), seed=3)
+    assert np.array_equal(spec.op_dur, spec2.op_dur)
+    assert not np.array_equal(
+        spec.op_dur, inst.random_instance(10, 6, (5, 20), seed=4).op_dur
+    )
+    with pytest.raises(ValueError):
+        inst.random_instance(4, 4, duration_range=(0, 9))
+    iset = inst.random_instance_set(5, 8, 4, seed=1)
+    assert len(iset) == 5 and iset.jobs_pad == 8
+
+
+def test_random_instance_runs_in_engine():
+    import jax
+
+    from jssenv_tpu import vector
+
+    iset = inst.random_instance_set(4, 8, 5, seed=9)
+    state = vector.make_batch(iset, 4)
+    state, ms, _ = vector.episode_makespans(jax.random.key(0), state, max_steps=400)
+    assert (np.asarray(ms) > 0).all()
+
+
 def test_load_from_file(tmp_path):
     spec = inst.get_instance("ta02")
     p = tmp_path / "my_instance"
