@@ -367,22 +367,29 @@ def check_no_op(state: EnvState) -> EnvState:
     )
     active = case1 | case2
 
-    k = jnp.arange(mp - 1, dtype=jnp.int32)  # walk positions, ≤ machines-1 steps
-    pos = start[:, None] + k[None, :]  # (J, M-1)
-    pos_clip = jnp.clip(pos, 0, mp - 1)
-    dur_seq = ops.rows_gather(state.op_dur, pos_clip)
-    m_seq = ops.rows_gather(state.op_machine, pos_clip)
-    csum = jnp.cumsum(dur_seq, axis=1)
-    tn = tn0[:, None] + jnp.concatenate(
-        [jnp.zeros((jp, 1), jnp.int32), csum[:, :-1]], axis=1
+    # The walk from op ``start`` accumulates durations, so in ABSOLUTE op
+    # positions p the accumulated time is tn0 + (cum_excl[p] - cum_excl[start])
+    # where cum_excl is the exclusive prefix sum of op durations — no shifted
+    # gathers needed; the machine at position p is just op_machine[j, p].
+    cum_excl = jnp.concatenate(
+        [jnp.zeros((jp, 1), jnp.int32), jnp.cumsum(state.op_dur, axis=1)[:, :-1]],
+        axis=1,
     )
+    base = tn0 - ops.row_gather(cum_excl, jnp.clip(start, 0, mp - 1))
+    tn = base[:, None] + cum_excl  # (J, M)
+    p = jnp.arange(mp, dtype=jnp.int32)[None, :]
     ok = (
         active[:, None]
-        & (pos < state.num_machines - 1)
+        & (p >= start[:, None])
+        & (p < state.num_machines - 1)
         & (max_horizon > tn)
     )
-    add = ok & (ops.lookup(mh, m_seq) > tn) & ops.lookup(state.machine_legal, m_seq)
-    covered = ops.segment_any(m_seq, add, mp)
+    add = (
+        ok
+        & (ops.lookup(mh, state.op_machine) > tn)
+        & ops.lookup(state.machine_legal, state.op_machine)
+    )
+    covered = ops.segment_any(state.op_machine, add, mp)
     all_covered = jnp.all(covered | ~state.machine_legal)
     noop = gate & ~early_out & (state.nb_machine_legal > 0) & all_covered
     return state.replace(noop_legal=noop)
