@@ -12,7 +12,7 @@ Importing this package registers the ``"jss-v1"`` environment with gymnasium
 
 __version__ = "0.1.0"
 
-from jssenv_tpu import instances  # noqa: F401
+from jssenv_tpu import instances, utils  # noqa: F401
 from jssenv_tpu.instances import (  # noqa: F401
     InstanceSet,
     InstanceSpec,

@@ -60,6 +60,11 @@ class JssEnv(_BASE):
       rule_seed:     optional int; enables the 10% exploratory no-op coin for
                      dispatching rules, deterministically (the reference uses
                      an unseeded global ``np.random`` instead).
+      engine:        "auto" (default) | "native" | "jax". The native C++
+                     engine serves single-env stepping at host speed; the JAX
+                     engine is the batched/TPU path. "auto" uses native when
+                     the shared library builds/loads, else JAX. Both are
+                     bit-identical (tests/test_native.py).
     """
 
     metadata = {"render_modes": ["human"]}
@@ -89,6 +94,19 @@ class JssEnv(_BASE):
         seed = env_config.get("rule_seed")
         self.rule_rng = KeySequence(seed) if seed is not None else None
 
+        engine_kind = env_config.get("engine", "auto")
+        if engine_kind not in ("auto", "native", "jax"):
+            raise ValueError(f"unknown engine {engine_kind!r}")
+        self._native = None
+        if engine_kind in ("auto", "native"):
+            try:
+                from jssenv_tpu.native import NativeEngine
+
+                self._native = NativeEngine(self._spec.op_machine, self._spec.op_dur)
+            except (RuntimeError, OSError):
+                if engine_kind == "native":
+                    raise
+
         if gym is not None:
             self.action_space = gym.spaces.Discrete(self.jobs + 1)
             self.observation_space = gym.spaces.Dict(
@@ -100,15 +118,64 @@ class JssEnv(_BASE):
                 }
             )
 
-        self.engine_state = engine.state_from_spec(self._spec)
+        self._engine_state = (
+            None if self._native is not None else engine.state_from_spec(self._spec)
+        )
         self._host = None
         self.last_time_step = float("inf")
         self.last_solution = None
 
+    @property
+    def engine_state(self):
+        """The functional EnvState (jax pytree). In native mode it is
+        materialized on demand from the native buffers (for checkpointing or
+        moving a single env onto device)."""
+        if self._native is not None:
+            return self._native_to_envstate()
+        return self._engine_state
+
+    @engine_state.setter
+    def engine_state(self, value):
+        if self._native is not None:
+            raise AttributeError("cannot set engine_state on a native-engine env")
+        self._engine_state = value
+
+    def _native_to_envstate(self):
+        n = self._native
+        base = engine.state_from_spec(self._spec)
+        import jax.numpy as jnp
+
+        return base.replace(
+            time=jnp.int32(n.time),
+            legal=jnp.asarray(n.legal.astype(bool)),
+            noop_legal=jnp.bool_(n.noop_legal),
+            nb_legal=jnp.int32(n.nb_legal),
+            nb_machine_legal=jnp.int32(n.nb_machine_legal),
+            machine_legal=jnp.asarray(n.machine_legal.astype(bool)),
+            solution=jnp.asarray(n.solution),
+            machine_busy_for=jnp.asarray(n.machine_busy_for),
+            job_busy_for=jnp.asarray(n.job_busy_for),
+            next_op=jnp.asarray(n.next_op),
+            work_done=jnp.asarray(n.work_done),
+            needed_machine=jnp.asarray(n.needed_machine),
+            idle_total=jnp.asarray(n.idle_total),
+            idle_since_op=jnp.asarray(n.idle_since_op),
+            pin=jnp.asarray(n.pin.astype(bool)),
+            noop_pin=jnp.asarray(n.noop_pin.astype(bool)),
+            obs=jnp.asarray(n.obs),
+        )
+
     # ------------------------------------------------------------------
-    # host snapshot plumbing
+    # host snapshot plumbing — the native engine exposes the same attribute
+    # names as EnvState, so one snapshot object serves both backends
     # ------------------------------------------------------------------
+    @property
+    def uses_native_engine(self) -> bool:
+        return self._native is not None
+
     def _snapshot(self):
+        if self._native is not None:
+            return self._native
         if self._host is None:
             self._host = jax.device_get(self.engine_state)
         return self._host
@@ -125,7 +192,7 @@ class JssEnv(_BASE):
     def legal_actions(self) -> np.ndarray:
         s = self._snapshot()
         return np.concatenate(
-            [np.asarray(s.legal)[: self.jobs], [bool(s.noop_legal)]]
+            [np.asarray(s.legal)[: self.jobs].astype(bool), [bool(s.noop_legal)]]
         )
 
     @property
@@ -138,7 +205,7 @@ class JssEnv(_BASE):
 
     @property
     def machine_legal(self) -> np.ndarray:
-        return np.asarray(self._snapshot().machine_legal)[: self.machines]
+        return np.asarray(self._snapshot().machine_legal)[: self.machines].astype(bool)
 
     @property
     def needed_machine_jobs(self) -> np.ndarray:
@@ -170,11 +237,13 @@ class JssEnv(_BASE):
 
     @property
     def illegal_actions(self) -> np.ndarray:
-        return np.asarray(self._snapshot().pin)[: self.machines, : self.jobs]
+        return np.asarray(self._snapshot().pin)[: self.machines, : self.jobs].astype(
+            bool
+        )
 
     @property
     def action_illegal_no_op(self) -> np.ndarray:
-        return np.asarray(self._snapshot().noop_pin)[: self.jobs]
+        return np.asarray(self._snapshot().noop_pin)[: self.jobs].astype(bool)
 
     @property
     def solution(self) -> np.ndarray:
@@ -186,7 +255,7 @@ class JssEnv(_BASE):
         reference's _get_current_state_representation)."""
         s = self._snapshot()
         obs = np.array(np.asarray(s.obs)[: self.jobs], dtype=float)
-        obs[:, 0] = np.asarray(s.legal)[: self.jobs].astype(float)
+        obs[:, 0] = np.asarray(s.legal)[: self.jobs].astype(bool).astype(float)
         return obs
 
     @property
@@ -214,31 +283,41 @@ class JssEnv(_BASE):
         the reference rejects them and therefore cannot run through gym.make on
         gymnasium >= 1.0 — but they are ignored: the env has no stochasticity
         to seed."""
-        self.engine_state = engine.reset(self.engine_state)
+        if self._native is not None:
+            self._native.reset()
+        else:
+            self._engine_state = engine.reset(self._engine_state)
         self._invalidate()
         return self._observation()
 
     def step(
         self, action: int
     ) -> Tuple[Dict[str, np.ndarray], float, bool, bool, Dict]:
-        self.engine_state, tr = _jit_step(self.engine_state, int(action))
+        if self._native is not None:
+            raw, done = self._native.step(int(action))
+            reward = raw / self._native.max_time_op
+        else:
+            self._engine_state, tr = _jit_step(self._engine_state, int(action))
+            reward = float(tr.reward)
+            done = bool(tr.done)
         self._invalidate()
-        done = bool(tr.done)
         if done:
             self.last_time_step = self.current_time_step
             self.last_solution = self.solution
-        return self._observation(), float(tr.reward), done, False, {}
+        return self._observation(), float(reward), done, False, {}
 
     def increase_time_step(self) -> int:
         """Advance the clock to the next completion event; returns the machine
         idle time ("holes") accrued. Public because golden-solution drivers
         call it directly (reference tests/test_solutions.py:68)."""
-        self.engine_state, holes = _jit_advance(self.engine_state)
+        if self._native is not None:
+            return self._native.advance_time()
+        self._engine_state, holes = _jit_advance(self._engine_state)
         self._invalidate()
         return int(holes)
 
     def _is_done(self) -> bool:
-        return bool(self.engine_state.done)
+        return self.nb_legal_actions == 0
 
     def render(self, mode: str = "human"):
         """Gantt chart of the scheduled ops so far; returns a plotly Figure if

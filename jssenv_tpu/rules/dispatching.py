@@ -173,12 +173,53 @@ class DispatchingRule:
         return _policy
 
     # --- host path (gym-style env with .state, .step) ---
+    def _host_priorities(self, env) -> np.ndarray:
+        """Numpy twin of the device priority kernel, reading the wrapper's
+        public attributes (the way the reference rules read env internals)."""
+        todo = np.asarray(env.todo_time_step_job)
+        dur = np.asarray(env.instance_matrix[..., 1])
+        machines = env.machines
+        clip = np.clip(todo, 0, machines - 1)
+        if self.name == "SPT":
+            return dur[np.arange(env.jobs), clip].astype(np.float64)
+        if self.name == "FIFO":
+            return np.asarray(env.idle_time_jobs_last_op, dtype=np.float64)
+        if self.name in ("MWR", "LWR", "CR"):
+            cum = np.concatenate(
+                [np.zeros((env.jobs, 1), np.int64), np.cumsum(dur, axis=1)], axis=1
+            )
+            remaining = dur.sum(axis=1) - cum[np.arange(env.jobs), np.minimum(todo, machines)]
+            if self.name == "CR":
+                due = dur.sum(axis=1) * 1.5
+                time_left = due - env.current_time_step
+                with np.errstate(divide="ignore"):
+                    return np.where(
+                        remaining > 0, time_left / np.maximum(remaining, 1), np.inf
+                    )
+            return remaining.astype(np.float64)
+        if self.name in ("MOR", "LOR"):
+            return (machines - todo).astype(np.float64)
+        raise KeyError(self.name)  # pragma: no cover
+
     def __call__(self, env) -> int:
         """Select an action for a host env wrapper (see envs.gym_env.JssEnv)."""
-        state = env.engine_state
         rng = None
         if getattr(env, "rule_rng", None) is not None:
             rng = env.rule_rng.next_key()
+        if getattr(env, "uses_native_engine", False):
+            mask = env.get_legal_actions()
+            legal = mask[:-1]
+            prio = self._host_priorities(env)
+            masked = np.where(legal, prio, np.inf if self.minimize else -np.inf)
+            best = int(np.argmin(masked) if self.minimize else np.argmax(masked))
+            action = best if legal.any() else env.jobs
+            if rng is not None and mask[-1]:
+                import jax.random
+
+                if float(jax.random.uniform(rng)) < 0.1:
+                    action = env.jobs
+            return action
+        state = env.engine_state
         return int(self.action(state, rng))
 
     def run_episode(self, env) -> Tuple[float, int]:
