@@ -100,11 +100,8 @@ def init_state(
         obs=jnp.zeros((jp, 7), jnp.float32),
     )
     # machine_legal[m] = some valid job's first op runs on m (jss_env.py:174-179)
-    ml = (
-        jnp.zeros((mp,), jnp.int32)
-        .at[jnp.clip(state.needed_machine, 0, mp - 1)]
-        .max(job_valid.astype(jnp.int32))
-        > 0
+    ml = ops.segment_any(
+        jnp.clip(state.needed_machine, 0, mp - 1), job_valid, mp
     )
     return state.replace(
         machine_legal=ml, nb_machine_legal=jnp.sum(ml, dtype=jnp.int32)
@@ -400,12 +397,6 @@ def check_no_op(state: EnvState) -> EnvState:
 # ---------------------------------------------------------------------------
 
 
-def _scatter_row(x: jax.Array, row: jax.Array, value, enable) -> jax.Array:
-    """x.at[row].set(value) but only when ``enable`` (otherwise unchanged)."""
-    safe = jnp.where(enable, row, 0)
-    return jnp.where(enable, x.at[safe].set(value), x)
-
-
 def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     """One agent step: allocate job ``action`` or wait (``action >= num_jobs``).
 
@@ -413,9 +404,15 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     no-op branch (jss_env.py:419-440) are expressed as masked updates sharing
     one fast-forward ``while_loop`` and one heuristic epilogue, so a vmapped
     batch never pays for both branches twice.
+
+    All single-element updates are one-hot masked writes rather than dynamic
+    scatters: scatters are slower on TPU, and batched single-element bool
+    scatters were observed to MISCOMPILE on TPU at batch >= 1024 (silently
+    dropping the update) — see tests/test_vector.py::test_large_batch_stats.
     """
     jp, mp = state.jobs_pad, state.machines_pad
     j_idx = jnp.arange(jp, dtype=jnp.int32)
+    m_idx = jnp.arange(mp, dtype=jnp.int32)
     action = jnp.asarray(action, jnp.int32)
     is_noop = action >= state.num_jobs
     is_alloc = ~is_noop
@@ -427,21 +424,24 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     dur = state.op_dur[a, op]
     raw_reward = jnp.where(is_alloc, dur, 0)
 
+    row_a = (j_idx == a) & is_alloc  # (J,) one-hot of the allocated job
+    row_m = (m_idx == m) & is_alloc  # (M,) one-hot of the allocated machine
+
     kill_alloc = is_alloc & state.legal & (state.needed_machine == state.needed_machine[a])
-    machine_busy_for = _scatter_row(state.machine_busy_for, m, dur, is_alloc)
-    job_busy_for = _scatter_row(state.job_busy_for, a, dur, is_alloc)
+    machine_busy_for = jnp.where(row_m, dur, state.machine_busy_for)
+    job_busy_for = jnp.where(row_a, dur, state.job_busy_for)
     obs = jnp.where(
-        is_alloc,
-        state.obs.at[a, 1].set(dur.astype(jnp.float32) / state.max_time_op),
+        row_a[:, None] & (jnp.arange(7) == 1)[None, :],
+        dur.astype(jnp.float32) / state.max_time_op,
         state.obs,
     )
     solution = jnp.where(
-        is_alloc, state.solution.at[a, op].set(state.time), state.solution
+        row_a[:, None] & (m_idx == op)[None, :], state.time, state.solution
     )
     # clear sticky pins on the allocated machine (jss_env.py:464-467)
-    unpinned = is_alloc & state.pin[m, :]
+    unpinned = (state.pin & row_m[:, None]).any(axis=0)
     noop_pin = state.noop_pin & ~unpinned
-    pin = jnp.where(is_alloc, state.pin.at[m, :].set(False), state.pin)
+    pin = state.pin & ~row_m[:, None]
 
     # --- no-op pre-updates (pin every legal job on its machine) ---
     nm_clip = jnp.clip(state.needed_machine, 0, mp - 1)
@@ -461,7 +461,7 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     machine_legal = jnp.where(
         is_noop,
         state.machine_legal & ~ml_clear_noop,
-        _scatter_row(state.machine_legal, m, False, is_alloc),
+        state.machine_legal & ~row_m,
     )
     nb_machine_legal = jnp.where(
         is_noop, 0, state.nb_machine_legal - 1

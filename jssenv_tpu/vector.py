@@ -148,6 +148,7 @@ def rollout(
     return state, stats
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps", "policy"))
 def episode_makespans(
     rng: jax.Array,
     state: EnvState,
@@ -155,16 +156,19 @@ def episode_makespans(
     policy: Policy = random_legal_actions,
 ) -> Tuple[EnvState, jax.Array, jax.Array]:
     """Run every lane to its FIRST episode end (no reset); returns
-    (final_state, makespans (B,), returns (B,)). Lanes that finish early hold
-    their terminal state (all-False mask -> policy output ignored via done
-    gating inside step: stepping a done lane is prevented by masking)."""
+    (final_state, makespans (B,), returns (B,)). Lanes that finish early are
+    frozen; the loop exits as soon as ALL lanes are done (or at ``max_steps``),
+    so short-episode batches don't pay for the worst case."""
 
-    def body(carry, _):
-        rng, state, done_seen, ms, ret = carry
+    def cond(carry):
+        step_i, _, _, done_seen, _, _ = carry
+        return (step_i < max_steps) & ~jnp.all(done_seen)
+
+    def body(carry):
+        step_i, rng, state, done_seen, ms, ret = carry
         rng, sub = jax.random.split(rng)
         actions = policy(sub, state)
-        # freeze finished lanes by replaying a no-op-free identity: step only
-        # unfinished lanes, keep finished ones as-is
+        # freeze finished lanes: step everyone, keep old state on done lanes
         new_state, tr = vstep(state, actions)
         keep = done_seen  # lanes already finished before this step
         state = jax.tree.map(
@@ -177,17 +181,17 @@ def episode_makespans(
         newly = ~keep & tr.done
         ms = jnp.where(newly, new_state.time, ms)
         ret = ret + jnp.where(keep, 0.0, tr.reward)
-        return (rng, state, keep | tr.done, ms, ret), None
+        return (step_i + 1, rng, state, keep | tr.done, ms, ret)
 
     B = state.time.shape[0]
     init = (
+        jnp.int32(0),
         rng,
         state,
         jnp.zeros((B,), bool),
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.float32),
     )
-    (rng, state, done_seen, ms, ret), _ = jax.lax.scan(
-        body, init, None, length=max_steps
-    )
+    carry = jax.lax.while_loop(cond, body, init)
+    _, rng, state, done_seen, ms, ret = carry
     return state, ms, ret

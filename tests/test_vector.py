@@ -80,6 +80,22 @@ def test_episode_makespans_identity():
     assert np.allclose(ret, expected, atol=2e-3)
 
 
+def test_large_batch_stats():
+    """Regression: batched single-element scatters in step() miscompiled on
+    TPU at B >= 1024 (the machine_legal update was silently dropped), which
+    surfaced as bogus ~30-step episodes with makespans far below the optimum.
+    step() is now scatter-free; any finished episode must respect the optimum
+    lower bound at every batch size."""
+    spec = inst.get_instance("ta01")
+    state = vector.make_batch(spec, 1024)
+    state, stats = vector.rollout(jax.random.key(1), state, num_steps=300)
+    stats = jax.device_get(stats)
+    if int(stats.episodes):
+        assert int(stats.min_makespan) >= 1231
+        avg = float(stats.total_makespan) / int(stats.episodes)
+        assert avg >= 1231
+
+
 def test_ragged_instance_batch():
     """Mixed instance sizes batch under one jit shape and finish correctly."""
     iset = inst.get_instance_set(["ta01", "ta41"])
