@@ -39,6 +39,13 @@ class LearnerConfig:
     value_coef: float = struct.field(pytree_node=False, default=0.5)
     entropy_coef: float = struct.field(pytree_node=False, default=0.01)
     hidden: Tuple[int, ...] = struct.field(pytree_node=False, default=(256, 256))
+    # algo: "reinforce" (returns-to-go baseline) or "ppo" (GAE + clipped
+    # surrogate over several minibatch epochs)
+    algo: str = struct.field(pytree_node=False, default="reinforce")
+    gae_lambda: float = struct.field(pytree_node=False, default=0.95)
+    clip_eps: float = struct.field(pytree_node=False, default=0.2)
+    ppo_epochs: int = struct.field(pytree_node=False, default=2)
+    minibatches: int = struct.field(pytree_node=False, default=4)
 
 
 @struct.dataclass
@@ -87,14 +94,15 @@ def _policy_rollout(model, params, env_state, rng, config):
         obs = jax.vmap(lambda s: s.observation()["real_obs"])(env_state)
         mask = jax.vmap(EnvState.action_mask)(env_state)
         logits, value = model.apply(params, obs, mask)
-        action_idx, _ = sample_action(sub, logits)
+        action_idx, logp = sample_action(sub, logits)
         # padded no-op slot (index jobs_pad) -> env no-op action id (num_jobs)
         actions = jnp.where(
             action_idx == env_state.jobs_pad, env_state.num_jobs, action_idx
         )
         env_state, tr, stats = vector.step_autoreset(env_state, actions, stats)
         frame = dict(
-            obs=obs, mask=mask, action=action_idx, reward=tr.reward, done=tr.done
+            obs=obs, mask=mask, action=action_idx, reward=tr.reward,
+            done=tr.done, value=value, logp=logp,
         )
         return (env_state, rng, stats), frame
 
@@ -123,10 +131,41 @@ def _returns(traj, config):
     return rets
 
 
+def _gae(traj, last_value, config):
+    """Generalized advantage estimation with episode-boundary resets."""
+
+    def body(carry, frame):
+        adv_next, v_next = carry
+        nonterm = 1.0 - frame["done"]
+        delta = frame["reward"] + config.gamma * v_next * nonterm - frame["value"]
+        adv = delta + config.gamma * config.gae_lambda * nonterm * adv_next
+        return (adv, frame["value"]), adv
+
+    (_, _), advs = jax.lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        traj,
+        reverse=True,
+    )
+    return advs
+
+
+def _entropy(logp_all, mask):
+    """Masked policy entropy with NaN-safe gradients (sanitize the -inf
+    logits BEFORE multiplying)."""
+    safe_logp = jnp.where(mask, logp_all, 0.0)
+    probs = jnp.where(mask, jnp.exp(safe_logp), 0.0)
+    return -jnp.mean(jnp.sum(probs * safe_logp, axis=-1))
+
+
 def make_train_step(
     config: LearnerConfig,
 ) -> Callable[[TrainState], Tuple[TrainState, dict]]:
     """Build the jittable train step (close over static config)."""
+    if config.algo == "ppo":
+        return _make_ppo_step(config)
+    if config.algo != "reinforce":
+        raise ValueError(f"unknown algo {config.algo!r}")
 
     optimizer = make_optimizer(config)
 
@@ -147,11 +186,7 @@ def make_train_step(
             adv = jax.lax.stop_gradient(rets - values)
             pg_loss = -jnp.mean(logp * adv)
             v_loss = jnp.mean((values - rets) ** 2)
-            # entropy over legal actions only; sanitize the -inf logits BEFORE
-            # multiplying so the masked branch carries no NaN into the gradient
-            safe_logp = jnp.where(traj["mask"], logp_all, 0.0)
-            probs = jnp.where(traj["mask"], jnp.exp(safe_logp), 0.0)
-            ent = -jnp.mean(jnp.sum(probs * safe_logp, axis=-1))
+            ent = _entropy(logp_all, traj["mask"])
             loss = pg_loss + config.value_coef * v_loss - config.entropy_coef * ent
             return loss, dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
 
@@ -164,6 +199,102 @@ def make_train_step(
             total_makespan=stats.total_makespan,
             min_makespan=stats.min_makespan,
             **aux,
+        )
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                env_state=env_state,
+                rng=rng,
+                steps=ts.steps + 1,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def _make_ppo_step(config: LearnerConfig):
+    """PPO: GAE advantages + clipped surrogate over minibatch epochs."""
+    optimizer = make_optimizer(config)
+
+    def train_step(ts: TrainState) -> Tuple[TrainState, dict]:
+        model = make_model(ts.env_state, config)
+        rng, roll_rng, perm_rng = jax.random.split(ts.rng, 3)
+        env_state, _, stats, traj = _policy_rollout(
+            model, ts.params, ts.env_state, roll_rng, config
+        )
+        # bootstrap value of the post-rollout state
+        obs_last = jax.vmap(lambda s: s.observation()["real_obs"])(env_state)
+        mask_last = jax.vmap(EnvState.action_mask)(env_state)
+        _, last_value = model.apply(ts.params, obs_last, mask_last)
+        advs = _gae(traj, last_value, config)
+        rets = advs + traj["value"]
+        advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+
+        # flatten (T, B) -> (N,) and run epochs x minibatches of updates
+        T, B = traj["reward"].shape
+        N = T * B
+        flat = {
+            "obs": traj["obs"].reshape(N, *traj["obs"].shape[2:]),
+            "mask": traj["mask"].reshape(N, -1),
+            "action": traj["action"].reshape(N),
+            "logp_old": traj["logp"].reshape(N),
+            "adv": advs.reshape(N),
+            "ret": rets.reshape(N),
+        }
+        mb_size = N // config.minibatches
+
+        def loss_fn(params, batch):
+            logits, values = model.apply(params, batch["obs"], batch["mask"])
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            logp = jnp.take_along_axis(
+                logp_all, batch["action"][..., None], axis=-1
+            )[..., 0]
+            ratio = jnp.exp(logp - batch["logp_old"])
+            clipped = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps)
+            pg_loss = -jnp.mean(
+                jnp.minimum(ratio * batch["adv"], clipped * batch["adv"])
+            )
+            v_loss = jnp.mean((values - batch["ret"]) ** 2)
+            ent = _entropy(logp_all, batch["mask"])
+            loss = pg_loss + config.value_coef * v_loss - config.entropy_coef * ent
+            return loss, dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
+
+        def epoch_body(carry, epoch_rng):
+            params, opt_state = carry
+            perm = jax.random.permutation(epoch_rng, N)
+
+            def mb_body(carry, mb_idx):
+                params, opt_state = carry
+                sel = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size, mb_size)
+                batch = {k: v[sel] for k, v in flat.items()}
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), dict(loss=loss, **aux)
+
+            (params, opt_state), ms = jax.lax.scan(
+                mb_body,
+                (params, opt_state),
+                jnp.arange(config.minibatches),
+            )
+            return (params, opt_state), ms
+
+        epoch_rngs = jax.random.split(perm_rng, config.ppo_epochs)
+        (params, opt_state), ms = jax.lax.scan(
+            epoch_body, (ts.params, ts.opt_state), epoch_rngs
+        )
+        metrics = dict(
+            loss=ms["loss"][-1, -1],
+            pg_loss=ms["pg_loss"][-1, -1],
+            v_loss=ms["v_loss"][-1, -1],
+            entropy=ms["entropy"][-1, -1],
+            episodes=stats.episodes,
+            total_makespan=stats.total_makespan,
+            min_makespan=stats.min_makespan,
         )
         return (
             TrainState(

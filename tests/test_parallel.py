@@ -84,6 +84,46 @@ def test_learner_sharded_dp_mp_matches_replicated():
         )
 
 
+def test_ppo_step_runs_and_updates():
+    spec = inst.get_instance("ta01")
+    config = learner.LearnerConfig(
+        algo="ppo", unroll_steps=8, hidden=(64, 64), minibatches=2, ppo_epochs=2
+    )
+    env_state = vector.make_batch(spec, 16)
+    ts = learner.init_train_state(jax.random.key(0), env_state, config)
+    step = jax.jit(learner.make_train_step(config))
+    ts2, metrics = step(ts)
+    assert int(ts2.steps) == 1
+    for k in ("loss", "pg_loss", "v_loss", "entropy"):
+        assert np.isfinite(float(metrics[k])), k
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), ts.params, ts2.params)
+    assert max(jax.tree.leaves(diff)) > 0
+    # a couple more steps stay finite (no NaN collapse through GAE/clip)
+    for _ in range(3):
+        ts2, metrics = step(ts2)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_unknown_algo_raises():
+    with pytest.raises(ValueError):
+        learner.make_train_step(learner.LearnerConfig(algo="a2c"))
+
+
+def test_ppo_training_run():
+    spec = inst.get_instance("ta01")
+    config = learner.LearnerConfig(
+        algo="ppo", unroll_steps=16, hidden=(64, 64), learning_rate=1e-3,
+        minibatches=2, ppo_epochs=2,
+    )
+    ts, history = learner.train(
+        spec, batch_size=64, num_updates=36, config=config, seed=3,
+        log_every=18, log_fn=lambda *_: None,
+    )
+    total_eps = sum(h["episodes"] for h in history)
+    assert total_eps >= 64
+    assert 1231 <= history[-1]["avg_makespan"] <= 1900
+
+
 def test_training_completes_episodes_and_learns():
     """A short REINFORCE run completes episodes and lands at or below the
     random-policy average makespan (~1830 on ta01)."""
