@@ -21,7 +21,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 from jssenv_tpu.core import ops
@@ -141,7 +140,6 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     machine is busy (reference would raise on ``pop``) is a safe no-op here.
     """
     jp, mp = state.jobs_pad, state.machines_pad
-    j_idx = jnp.arange(jp, dtype=jnp.int32)
     busy = state.machine_busy_for > 0
     any_busy = jnp.any(busy)
     diff = jnp.where(
@@ -338,16 +336,17 @@ def check_no_op(state: EnvState) -> EnvState:
     early_out = jnp.any(lj & (end < next_ev))
     cap = state.time + state.max_time_op
 
-    # running max_horizon: for each legal job j (in index order) the value
-    # min(cap, min over legal j' <= j on the same machine of end[j'])
-    same_m = m1[None, :] == m1[:, None]  # [j, j']
-    prefix = (j_idx[None, :] <= j_idx[:, None]) & lj[None, :] & same_m
-    run_min = jnp.min(
-        jnp.where(prefix, end[None, :], _I32_MAX), axis=1
-    )
-    run_min = jnp.minimum(cap, run_min)
-    max_horizon = jnp.max(jnp.where(lj, run_min, -_I32_MAX))
-    max_horizon = jnp.maximum(state.time, max_horizon)
+    # The reference computes max_horizon as a running max over legal jobs (in
+    # index order) of the per-machine running min of min(cap, end). The running
+    # min per machine is non-increasing, so each machine's contribution to the
+    # max is attained at its FIRST legal job: max_horizon = max over machines
+    # with a legal job of min(cap, end[first legal job on m]) — no (J, J)
+    # prefix structure needed.
+    first_j = ops.segment_min(m1, j_idx, lj, mp)  # (M,) first legal job index
+    has_legal_m = first_j != _I32_MAX
+    end_first = ops.lookup(end, jnp.clip(first_j, 0, jp - 1))
+    contrib = jnp.where(has_legal_m, jnp.minimum(cap, end_first), -_I32_MAX)
+    max_horizon = jnp.maximum(state.time, jnp.max(contrib))
 
     # final per-machine horizon used by pass 2
     mh = jnp.minimum(cap, ops.segment_min(m1, end, lj, mp))
