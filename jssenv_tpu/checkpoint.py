@@ -31,7 +31,13 @@ def _flatten_with_names(tree: Any):
 
 
 def save(path: str, tree: Any) -> None:
-    """Save a pytree of arrays as one compressed npz."""
+    """Save a pytree of arrays as one compressed npz.
+
+    ``numpy.savez`` appends ``.npz`` to extension-less paths; normalize here so
+    ``save(p)`` / ``load(p)`` round-trip for any ``p``.
+    """
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     names, leaves, _ = _flatten_with_names(tree)
     arrays = {f"leaf_{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
     arrays["__names__"] = np.asarray(names)
@@ -42,6 +48,8 @@ def save(path: str, tree: Any) -> None:
 def load(path: str, template: Any) -> Any:
     """Restore a pytree saved by ``save`` into the structure (and device
     placement) of ``template``."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     names_t, leaves_t, treedef = _flatten_with_names(template)
     with np.load(path, allow_pickle=False) as z:
         names_s = [str(n) for n in z["__names__"]]

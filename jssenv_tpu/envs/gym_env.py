@@ -295,7 +295,9 @@ class JssEnv(_BASE):
     ) -> Tuple[Dict[str, np.ndarray], float, bool, bool, Dict]:
         if self._native is not None:
             raw, done = self._native.step(int(action))
-            reward = raw / self._native.max_time_op
+            # scale in float32, exactly as the JAX engine does, so rewards are
+            # bit-identical between the two backends
+            reward = float(np.float32(raw) / np.float32(self._native.max_time_op))
         else:
             self._engine_state, tr = _jit_step(self._engine_state, int(action))
             reward = float(tr.reward)

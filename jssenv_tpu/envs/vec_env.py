@@ -67,16 +67,9 @@ class JssVectorEnv:
     def _step_impl(state, fresh, actions, autoreset: bool):
         new_state, tr = vector.vstep(state, actions)
         makespans = jnp.where(tr.done, new_state.time, 0)
-        if autoreset:
-            out = jax.tree.map(
-                lambda f, s: jnp.where(
-                    tr.done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
-                ),
-                fresh,
-                new_state,
-            )
-        else:
-            out = new_state
+        out = (
+            vector.select_lanes(tr.done, fresh, new_state) if autoreset else new_state
+        )
         return out, tr, makespans
 
     # --- public API ---

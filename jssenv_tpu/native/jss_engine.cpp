@@ -323,9 +323,16 @@ void jss_reset(EngineHandle *h) {
 
 // One agent step. action >= jobs means no-op. Returns the raw integer reward;
 // *done is set to 1 when no legal job action remains.
+//
+// Illegal inputs are clamped exactly like the JAX engine (engine.py step):
+// negative actions clip to job 0, and a finished job's needed machine (-1)
+// and past-the-end op index clip to 0 / machines-1 — garbage-in-garbage-out
+// state like stepping an illegal action in the reference, but always
+// memory-safe.
 int32_t jss_step(EngineHandle *h, int32_t action, uint8_t *done) {
   Engine &e = h->e;
   int32_t reward = 0;
+  if (action < 0) action = 0;
   if (action >= e.jobs) {  // no-op: pin every legal job on its machine
     for (int j = 0; j < e.jobs; ++j) {
       if (!e.legal[j]) continue;
@@ -340,8 +347,8 @@ int32_t jss_step(EngineHandle *h, int32_t action, uint8_t *done) {
     while (e.nb_machine_legal == 0 && min_busy(e) != kI32Max)
       reward -= advance_time(e);
   } else {  // allocation
-    const int32_t op = e.next_op[action];
-    const int32_t m = e.needed_machine[action];
+    const int32_t op = std::min(std::max(e.next_op[action], 0), e.machines - 1);
+    const int32_t m = std::min(std::max(e.needed_machine[action], 0), e.machines - 1);
     const int32_t dur = e.od(action, op);
     reward += dur;
     e.machine_busy_for[m] = dur;

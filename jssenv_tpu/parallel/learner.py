@@ -351,15 +351,26 @@ def shard_train_state(
     env_state = jax.device_put(ts.env_state, env_sharding)
     if mp_axis is not None:
         params = partition_params(ts.params, mesh, mp_axis)
-        opt_state = jax.tree.map(
-            lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P()))
-            if leaf.ndim == 0
-            else leaf,
-            ts.opt_state,
-            is_leaf=lambda x: hasattr(x, "ndim"),
-        )
-        # adam moments follow the param layout
-        opt_state = jax.tree.map(lambda l: l, opt_state)
+        # adam moments follow the param layout: optax's ScaleByAdamState holds
+        # mu/nu as param-congruent pytrees — place each moment leaf with its
+        # parameter's sharding and replicate everything else (count etc.)
+        rep = NamedSharding(mesh, P())
+
+        def place_state(entry):
+            if hasattr(entry, "mu") and hasattr(entry, "nu"):
+                mu = jax.tree.map(
+                    lambda p, m: jax.device_put(m, p.sharding), params, entry.mu
+                )
+                nu = jax.tree.map(
+                    lambda p, n: jax.device_put(n, p.sharding), params, entry.nu
+                )
+                entry = entry._replace(mu=mu, nu=nu)
+                if hasattr(entry, "count"):
+                    entry = entry._replace(count=jax.device_put(entry.count, rep))
+                return entry
+            return jax.device_put(entry, rep)
+
+        opt_state = tuple(place_state(e) for e in ts.opt_state)
     else:
         rep = NamedSharding(mesh, P())
         params = jax.device_put(ts.params, rep)

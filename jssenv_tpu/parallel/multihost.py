@@ -32,23 +32,34 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Join the multi-host runtime. No-ops when already initialized or when
-    running single-host with no coordinator configured.
+    """Join the multi-host runtime. No-op when running single-host with no
+    coordinator configured, or when the runtime is already initialized.
 
     Environment-variable driven on TPU pods (JAX auto-detects); explicit args
-    support manual CPU/GPU bring-up.
+    support manual CPU/GPU bring-up. IMPORTANT: this must run before anything
+    initializes the XLA backend, so the no-op decision is made from the
+    arguments/environment alone — calling e.g. ``jax.process_count()`` here
+    would itself initialize the backend and doom ``distributed.initialize``.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
-        explicit = num_processes is not None or process_id is not None
-        if not explicit:
-            return  # single-host run
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
+    configured = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+        or os.environ.get("JAX_NUM_PROCESSES")
     )
+    if not configured:
+        return  # single-host run
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # second call in the same process
+        raise
 
 
 def global_mesh(axis_name: str = "dp") -> Mesh:

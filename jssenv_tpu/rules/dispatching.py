@@ -298,7 +298,14 @@ def compare_rules(
     num_episodes: int = 10,
 ) -> Dict[str, Dict[str, float]]:
     """Run each rule for ``num_episodes`` episodes on a host env and average
-    (reference dispatching.py:442-475)."""
+    (reference dispatching.py:442-475).
+
+    Note: the reference's rules flip an (unseeded) 10% exploratory no-op coin
+    on every decision, so its averages have stochastic spread. Here the coin
+    only runs when the env carries a rule PRNG — construct the env with
+    ``env_config={"rule_seed": <int>}`` to reproduce that spread
+    deterministically; the default is fully deterministic (all episodes of a
+    rule identical)."""
     if rules is None:
         rules = list(DISPATCHING_RULES.keys())
     results: Dict[str, Dict[str, float]] = {}

@@ -32,14 +32,32 @@ from jssenv_tpu.instances import InstanceSet, InstanceSpec, stack_instances
 Policy = Callable[[jax.Array, EnvState], jax.Array]  # (rng, state_batch) -> actions
 
 
+def select_lanes(pred: jax.Array, on_true, on_false):
+    """Per-lane select over batched pytrees: where ``pred`` (B,) is True take
+    the lane from ``on_true`` else ``on_false`` (broadcast over leaf ranks)."""
+    return jax.tree.map(
+        lambda a, b: jnp.where(pred.reshape((-1,) + (1,) * (b.ndim - 1)), a, b),
+        on_true,
+        on_false,
+    )
+
+
 @struct.dataclass
 class RolloutStats:
-    """Accumulated episode statistics from an auto-resetting rollout."""
+    """Accumulated statistics from an auto-resetting rollout window.
 
-    episodes: jax.Array  # () int32 — completed episodes
-    total_makespan: jax.Array  # () int64-ish sum of final makespans
+    ``total_return`` sums every step's scaled reward across ALL lanes during
+    the window — including the partial prefixes/suffixes of episodes that
+    straddle the window boundary. Use it for per-step reward averages; for
+    exact per-episode returns use the identity
+    ``raw return = 2*sum_op - machines*makespan`` on the recorded makespans,
+    or ``episode_makespans`` which tracks whole episodes.
+    """
+
+    episodes: jax.Array  # () int32 — episodes completed in the window
+    total_makespan: jax.Array  # () int32 sum of final makespans
     min_makespan: jax.Array  # () int32
-    total_return: jax.Array  # () float32 sum of episode returns (scaled)
+    total_return: jax.Array  # () float32 sum of step rewards in the window
     steps: jax.Array  # () int32 — agent steps taken
 
     @classmethod
@@ -98,8 +116,8 @@ def step_autoreset(
 ) -> Tuple[EnvState, engine.Transition, RolloutStats]:
     """Vmapped step + auto-reset of finished lanes + stats accumulation.
 
-    Episode return accounting uses per-lane running sums carried in ``stats``
-    via the aggregate totals; finished lanes contribute their makespan once.
+    Finished lanes contribute their makespan once; see RolloutStats for the
+    exact meaning of the reward accumulator.
     """
     new_state, tr = vstep(state, actions)
     finished = tr.done
@@ -115,14 +133,7 @@ def step_autoreset(
         total_return=stats.total_return + jnp.sum(tr.reward),
         steps=stats.steps + jnp.int32(actions.shape[0]),
     )
-    fresh = vreset(new_state)
-    reset_state = jax.tree.map(
-        lambda f, s: jnp.where(
-            finished.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
-        ),
-        fresh,
-        new_state,
-    )
+    reset_state = select_lanes(finished, vreset(new_state), new_state)
     return reset_state, tr, stats
 
 
@@ -171,13 +182,7 @@ def episode_makespans(
         # freeze finished lanes: step everyone, keep old state on done lanes
         new_state, tr = vstep(state, actions)
         keep = done_seen  # lanes already finished before this step
-        state = jax.tree.map(
-            lambda old, new: jnp.where(
-                keep.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
-            ),
-            state,
-            new_state,
-        )
+        state = select_lanes(keep, state, new_state)
         newly = ~keep & tr.done
         ms = jnp.where(newly, new_state.time, ms)
         ret = ret + jnp.where(keep, 0.0, tr.reward)
