@@ -80,10 +80,13 @@ def main() -> None:
         source = inst.get_instance_set(names)
     state = vector.make_batch(source, args.batch)
 
-    # compile + warmup
+    # compile + warmup. NOTE: timing must end with a device_get of the (tiny)
+    # stats, not block_until_ready — on the remote-relay TPU backend the first
+    # block_until_ready after a fresh executable can return without actually
+    # forcing the computation, which silently inflates throughput numbers.
     t0 = time.time()
     wstate, wstats = vector.rollout(jax.random.key(0), state, num_steps=args.warmup_steps)
-    jax.block_until_ready(wstate)
+    jax.device_get(wstats)
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     best = 0.0
@@ -93,13 +96,12 @@ def main() -> None:
             out_state, stats = vector.rollout(
                 jax.random.key(r + 1), state, num_steps=args.steps
             )
-            jax.block_until_ready(out_state)
+            stats = jax.device_get(stats)
             dt = time.time() - t0
         except jax.errors.JaxRuntimeError as e:  # flaky device/tunnel
             log(f"repeat {r}: device error ({e}); continuing")
             continue
         sps = args.batch * args.steps / dt
-        stats = jax.device_get(stats)
         eps = int(stats.episodes)
         avg_ms = float(stats.total_makespan) / eps if eps else float("nan")
         log(

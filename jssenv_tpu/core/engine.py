@@ -72,14 +72,69 @@ def init_state(
     job_valid = jnp.arange(jp, dtype=jnp.int32) < num_jobs
     jobs_length = jnp.sum(op_dur, axis=1, dtype=jnp.int32)
 
-    state = EnvState(
+    # Static inverse permutation: op_pos[j, m] = position of machine m in job
+    # j's op sequence (each job visits each machine exactly once — the JSSP
+    # contract, enforced at parse time). Padded columns get a unique large key
+    # so argsort maps real machines exactly; sentinel = mp where m is padding.
+    p_idx = jnp.arange(mp, dtype=jnp.int32)
+    col_pad = (p_idx[None, :] >= num_machines) | ~job_valid[:, None]
+    om_eff = jnp.where(col_pad, mp + p_idx[None, :], op_machine)
+    order = jnp.argsort(om_eff, axis=1).astype(jnp.int32)  # (J, M)
+    m_valid_col = (p_idx[None, :] < num_machines) & job_valid[:, None]
+    op_pos = jnp.where(m_valid_col, order, mp)
+    # cum_before[j, m] = exclusive prefix sum of durations at op_pos[j, m]
+    cum_excl = jnp.concatenate(
+        [jnp.zeros((jp, 1), jnp.int32), jnp.cumsum(op_dur, axis=1)[:, :-1]],
+        axis=1,
+    )
+    cum_before = jnp.where(
+        m_valid_col,
+        jnp.take_along_axis(cum_excl, jnp.clip(op_pos, 0, mp - 1), axis=1),
+        0,
+    )
+
+    return _fresh_state(
         op_machine=op_machine,
         op_dur=op_dur,
+        op_pos=op_pos,
+        cum_before=cum_before,
         num_jobs=num_jobs,
         num_machines=num_machines,
         max_time_op=jnp.max(op_dur).astype(jnp.int32),
         max_time_jobs=jnp.max(jobs_length).astype(jnp.int32),
         sum_op=jnp.sum(op_dur, dtype=jnp.int32),
+    )
+
+
+def _fresh_state(
+    op_machine,
+    op_dur,
+    op_pos,
+    cum_before,
+    num_jobs,
+    num_machines,
+    max_time_op,
+    max_time_jobs,
+    sum_op,
+) -> EnvState:
+    """Zero-initialize the dynamic state around existing static tables.
+
+    Split out of ``init_state`` so that ``reset`` (which runs on EVERY
+    auto-reset step inside rollouts) does not recompute the static
+    inverse-permutation tables or normalizer scalars."""
+    jp, mp = op_machine.shape
+    job_valid = jnp.arange(jp, dtype=jnp.int32) < num_jobs
+
+    state = EnvState(
+        op_machine=op_machine,
+        op_dur=op_dur,
+        op_pos=op_pos,
+        cum_before=cum_before,
+        num_jobs=num_jobs,
+        num_machines=num_machines,
+        max_time_op=max_time_op,
+        max_time_jobs=max_time_jobs,
+        sum_op=sum_op,
         time=jnp.int32(0),
         legal=job_valid,
         noop_legal=jnp.bool_(False),
@@ -108,9 +163,21 @@ def init_state(
 
 
 def reset(state: EnvState) -> EnvState:
-    """Reset an existing state in place (same instance), pure."""
-    return init_state(
-        state.op_machine, state.op_dur, state.num_jobs, state.num_machines
+    """Reset an existing state in place (same instance), pure.
+
+    Reuses the static tables and normalizer scalars — no argsort/cumsum/max
+    recompute, which matters because auto-resetting rollouts call this every
+    step on the done lanes."""
+    return _fresh_state(
+        op_machine=state.op_machine,
+        op_dur=state.op_dur,
+        op_pos=state.op_pos,
+        cum_before=state.cum_before,
+        num_jobs=state.num_jobs,
+        num_machines=state.num_machines,
+        max_time_op=state.max_time_op,
+        max_time_jobs=state.max_time_jobs,
+        sum_op=state.sum_op,
     )
 
 
@@ -286,14 +353,9 @@ def prioritization_non_final(state: EnvState) -> EnvState:
         cand & gate & ~is_final & (ops.lookup(state.machine_busy_for, next_m) == 0)
     )
     min_nf = ops.segment_min(m_of, dur_cur, eligible_nf, mp)
-    has_nf = ops.segment_any(m_of, eligible_nf, mp)
-    kill = (
-        cand
-        & gate
-        & is_final
-        & ops.lookup(has_nf, m_of)
-        & (dur_cur > ops.lookup(min_nf, m_of))
-    )
+    # "some eligible non-final job exists on m" is already encoded by
+    # min_nf[m] < INT32_MAX (durations are finite), so no separate segment_any
+    kill = cand & gate & is_final & (dur_cur > ops.lookup(min_nf, m_of))
     return state.replace(
         legal=state.legal & ~kill,
         nb_legal=state.nb_legal - jnp.sum(kill, dtype=jnp.int32),
@@ -330,7 +392,9 @@ def check_no_op(state: EnvState) -> EnvState:
     # ---- pass 1: horizons from legal jobs (jss_env.py:304-321) ----
     lj = state.legal
     op_clip = jnp.clip(state.next_op, 0, mp - 1)
-    m1 = ops.row_gather(state.op_machine, op_clip)
+    # the machine of an unfinished job's current op IS needed_machine (state
+    # invariant), so no gather into op_machine is needed
+    m1 = jnp.clip(state.needed_machine, 0, mp - 1)
     t1 = ops.row_gather(state.op_dur, op_clip)
     end = state.time + t1
     early_out = jnp.any(lj & (end < next_ev))
@@ -356,37 +420,37 @@ def check_no_op(state: EnvState) -> EnvState:
     case1 = illegal & (state.job_busy_for > 0) & (state.next_op + 1 < state.num_machines)
     case2 = illegal & ~case1 & ~state.noop_pin & (state.next_op < state.num_machines)
     start = jnp.where(case1, state.next_op + 1, state.next_op)
-    tn0 = jnp.where(
-        case1,
-        state.time + state.job_busy_for,
-        state.time + ops.lookup(state.machine_busy_for, jnp.clip(m1, 0, mp - 1)),
-    )
     active = case1 | case2
 
-    # The walk from op ``start`` accumulates durations, so in ABSOLUTE op
-    # positions p the accumulated time is tn0 + (cum_excl[p] - cum_excl[start])
-    # where cum_excl is the exclusive prefix sum of op durations — no shifted
-    # gathers needed; the machine at position p is just op_machine[j, p].
-    cum_excl = jnp.concatenate(
-        [jnp.zeros((jp, 1), jnp.int32), jnp.cumsum(state.op_dur, axis=1)[:, :-1]],
-        axis=1,
+    # The walk from op ``start`` accumulates durations: at absolute position p
+    # the accumulated time is tn0 + (cum_excl[p] - cum_excl[start]). Both terms
+    # are available WITHOUT any gather or per-step cumsum:
+    #   * cum_excl[start] is derivable from work_done — for a waiting job
+    #     (case2) work_done == cum_excl[next_op]; for a running job (case1)
+    #     cum_excl[next_op + 1] == work_done + job_busy_for — so
+    #     base = tn0 - cum_excl[start] simplifies per case as below;
+    #   * cum_excl re-indexed BY MACHINE is the static ``cum_before`` table
+    #     (each job visits each machine exactly once), and the position of
+    #     machine m in job j's walk is the static ``op_pos`` table.
+    # The per-(job, position) walk therefore becomes a per-(job, machine)
+    # elementwise test plus one J-axis min — no M-expanded segment reduction.
+    base = jnp.where(
+        case1,
+        state.time - state.work_done,
+        state.time + ops.lookup(state.machine_busy_for, m1) - state.work_done,
     )
-    base = tn0 - ops.row_gather(cum_excl, jnp.clip(start, 0, mp - 1))
-    tn = base[:, None] + cum_excl  # (J, M)
-    p = jnp.arange(mp, dtype=jnp.int32)[None, :]
-    ok = (
+    pos = state.op_pos  # (J, M) position of machine m in job j's sequence
+    tn_at = base[:, None] + state.cum_before  # (J, M) walk time at machine m
+    ok_at = (
         active[:, None]
-        & (p >= start[:, None])
-        & (p < state.num_machines - 1)
-        & (max_horizon > tn)
+        & (pos >= start[:, None])
+        & (pos < (state.num_machines - 1))
+        & (max_horizon > tn_at)
     )
-    add = (
-        ok
-        & (ops.lookup(mh, state.op_machine) > tn)
-        & ops.lookup(state.machine_legal, state.op_machine)
-    )
-    covered = ops.segment_any(state.op_machine, add, mp)
-    all_covered = jnp.all(covered | ~state.machine_legal)
+    # A machine m is "covered" iff some walked op on m has tn < mh[m] (and m is
+    # legal); any(tn < mh[m]) == (min tn < mh[m]).
+    tn_min = jnp.min(jnp.where(ok_at, tn_at, _I32_MAX), axis=0)  # (M,)
+    all_covered = jnp.all(~state.machine_legal | (tn_min < mh))
     noop = gate & ~early_out & (state.nb_machine_legal > 0) & all_covered
     return state.replace(noop_legal=noop)
 

@@ -32,6 +32,14 @@ class EnvState:
     Static instance fields (unchanged across steps):
       op_machine:    (J, M) int32  machine id of op k of job j  (padding: 0)
       op_dur:        (J, M) int32  integer duration of op k of job j (padding: 0)
+      op_pos:        (J, M) int32  position (op index) of machine m in job j's
+                                   sequence — the inverse permutation of
+                                   op_machine rows (each job visits each machine
+                                   exactly once); ``machines_pad`` sentinel where
+                                   machine m does not appear (padding)
+      cum_before:    (J, M) int32  total work of job j's ops BEFORE its op on
+                                   machine m (exclusive duration prefix sum,
+                                   re-indexed by machine); 0 on padding
       num_jobs:      ()  int32     real J for this env
       num_machines:  ()  int32     real M for this env
       max_time_op:   ()  int32     max single-op duration (obs/reward normalizer)
@@ -65,6 +73,8 @@ class EnvState:
     # static instance data
     op_machine: jax.Array
     op_dur: jax.Array
+    op_pos: jax.Array
+    cum_before: jax.Array
     num_jobs: jax.Array
     num_machines: jax.Array
     max_time_op: jax.Array

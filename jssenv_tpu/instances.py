@@ -55,6 +55,15 @@ class InstanceSpec:
             raise ValueError("instance must have at least 2 machines")
         if int(self.op_dur[: self.num_jobs, : self.num_machines].max()) <= 0:
             raise ValueError("instance must contain a positive duration")
+        # JSSP contract: each job visits each machine exactly once (holds for
+        # every Taillard/DMU instance and the reference's format; the engine's
+        # static inverse-permutation tables rely on it)
+        om = self.op_machine[: self.num_jobs, : self.num_machines]
+        if not (np.sort(om, axis=1) == np.arange(self.num_machines)).all():
+            raise ValueError(
+                "each job must visit each machine exactly once "
+                "(op_machine rows must be permutations of 0..machines-1)"
+            )
 
     # Derived scalars (reference: jss_env.py:86-89).
     @property
