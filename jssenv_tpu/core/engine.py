@@ -162,6 +162,28 @@ def _fresh_state(
     )
 
 
+def compact_static_tables(state: EnvState, max_job_length: int) -> EnvState:
+    """Downcast the static instance tables to the narrowest safe dtypes.
+
+    The batched step is HBM-bandwidth-bound and the (J, M) tables are its
+    biggest loads; machine ids / op positions fit int8 when machines_pad <= 126
+    (the op_pos sentinel is machines_pad itself) and durations / per-job prefix
+    sums fit int16 when no job's total work exceeds int16 range. All consumers
+    promote to int32 on read (ops._widen and explicit casts), so arithmetic is
+    unchanged. ``max_job_length`` must be a host-side bound on
+    ``max(jobs_length)`` for every instance that will ever share this state.
+    """
+    mp = state.machines_pad
+    id_dt = jnp.int8 if mp <= 126 else jnp.int32
+    val_dt = jnp.int16 if max_job_length <= 32767 else jnp.int32
+    return state.replace(
+        op_machine=state.op_machine.astype(id_dt),
+        op_pos=state.op_pos.astype(id_dt),
+        op_dur=state.op_dur.astype(val_dt),
+        cum_before=state.cum_before.astype(val_dt),
+    )
+
+
 def reset(state: EnvState) -> EnvState:
     """Reset an existing state in place (same instance), pure.
 
@@ -184,12 +206,13 @@ def reset(state: EnvState) -> EnvState:
 def state_from_spec(spec: InstanceSpec, jobs_pad: int = 0, machines_pad: int = 0) -> EnvState:
     """Host helper: build an EnvState from a parsed InstanceSpec."""
     padded = spec.padded(max(jobs_pad, spec.num_jobs), max(machines_pad, spec.num_machines))
-    return init_state(
+    state = init_state(
         jnp.asarray(padded.op_machine),
         jnp.asarray(padded.op_dur),
         spec.num_jobs,
         spec.num_machines,
     )
+    return compact_static_tables(state, max_job_length=spec.max_time_jobs)
 
 
 # ---------------------------------------------------------------------------
@@ -484,7 +507,7 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     a = jnp.where(is_alloc, jnp.clip(action, 0, jp - 1), 0)
     op = jnp.clip(state.next_op[a], 0, mp - 1)
     m = jnp.clip(state.needed_machine[a], 0, mp - 1)
-    dur = state.op_dur[a, op]
+    dur = state.op_dur[a, op].astype(jnp.int32)
     raw_reward = jnp.where(is_alloc, dur, 0)
 
     row_a = (j_idx == a) & is_alloc  # (J,) one-hot of the allocated job
@@ -547,16 +570,28 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     # 429-430). The no-op branch of the reference has no queue-emptiness guard
     # (it would crash on an empty queue); the ``any_busy`` conjunct makes that
     # case terminate instead.
+    #
+    # The loop carries ONLY the dynamic fields: static instance tables (and
+    # solution/pin, which advance_time never writes) are closed over as
+    # loop-invariant inputs. Under vmap, a while_loop's carry gets a per-lane
+    # select on every iteration — carrying the full state would round-trip
+    # every (B, J, M) table through HBM each event.
+    base_state = state
+    _ff_invariant = ("solution", "pin", "noop_pin", "noop_legal")
+    dyn0 = {k: v for k, v in state.dynamic_fields().items() if k not in _ff_invariant}
+
     def ff_cond(carry):
-        s, _ = carry
-        return (s.nb_machine_legal == 0) & s.any_busy
+        dyn, _ = carry
+        return (dyn["nb_machine_legal"] == 0) & jnp.any(dyn["machine_busy_for"] > 0)
 
     def ff_body(carry):
-        s, holes = carry
-        s, h = advance_time(s)
-        return s, holes + h
+        dyn, holes = carry
+        s, h = advance_time(base_state.replace(**dyn))
+        dyn = {k: getattr(s, k) for k in dyn}
+        return dyn, holes + h
 
-    state, holes = jax.lax.while_loop(ff_cond, ff_body, (state, jnp.int32(0)))
+    dyn, holes = jax.lax.while_loop(ff_cond, ff_body, (dyn0, jnp.int32(0)))
+    state = state.replace(**dyn)
     raw_reward = raw_reward - holes
 
     # --- epilogue: heuristics + scaling (jss_env.py:431-433, 471-474) ---

@@ -33,26 +33,34 @@ def _mode() -> str:
     return mode
 
 
+def _widen(x: jax.Array) -> jax.Array:
+    """Promote narrow integer gather results to int32 so downstream arithmetic
+    is dtype-stable regardless of the (possibly compressed) table dtype."""
+    if jnp.issubdtype(x.dtype, jnp.integer) and x.dtype.itemsize < 4:
+        return x.astype(jnp.int32)
+    return x
+
+
 def row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     """table: (J, M); idx: (J,) int32 in [0, M) (caller clips). Returns
-    ``table[j, idx[j]]`` per row, shape (J,)."""
+    ``table[j, idx[j]]`` per row, shape (J,), int32 for integer tables."""
     if _mode() == "native":
-        return jnp.take_along_axis(table, idx[:, None], axis=1)[:, 0]
+        return _widen(jnp.take_along_axis(table, idx[:, None], axis=1)[:, 0])
     m = table.shape[1]
     onehot = idx[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
-    return jnp.sum(jnp.where(onehot, table, 0), axis=1)
+    return _widen(jnp.sum(jnp.where(onehot, table, 0), axis=1))
 
 
 def lookup(vec: jax.Array, idx: jax.Array) -> jax.Array:
     """vec: (M,); idx: any int32 shape with entries in [0, M). Returns
     ``vec[idx]`` elementwise."""
     if _mode() == "native":
-        return vec[idx]
+        return _widen(vec[idx])
     m = vec.shape[0]
     onehot = idx[..., None] == jnp.arange(m, dtype=jnp.int32)
     if vec.dtype == jnp.bool_:
         return jnp.any(onehot & vec, axis=-1)
-    return jnp.sum(jnp.where(onehot, vec, 0), axis=-1)
+    return _widen(jnp.sum(jnp.where(onehot, vec, 0), axis=-1))
 
 
 def lookup2d_col(mat: jax.Array, row_idx: jax.Array) -> jax.Array:
@@ -69,10 +77,10 @@ def lookup2d_col(mat: jax.Array, row_idx: jax.Array) -> jax.Array:
 def rows_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     """table: (J, M); idx: (J, K) in [0, M). Returns out[j, k] = table[j, idx[j, k]]."""
     if _mode() == "native":
-        return jnp.take_along_axis(table, idx, axis=1)
+        return _widen(jnp.take_along_axis(table, idx, axis=1))
     m = table.shape[1]
     onehot = idx[..., None] == jnp.arange(m, dtype=jnp.int32)
-    return jnp.sum(jnp.where(onehot, table[:, None, :], 0), axis=-1)
+    return _widen(jnp.sum(jnp.where(onehot, table[:, None, :], 0), axis=-1))
 
 
 def segment_min(

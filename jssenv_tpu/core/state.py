@@ -99,6 +99,30 @@ class EnvState:
     noop_pin: jax.Array
     obs: jax.Array
 
+    # Fields that never change after init_state. Loops and auto-reset selects
+    # must NOT carry/select these (see engine.step's fast-forward carry and
+    # vector.step_autoreset): carrying them through a batched while_loop or
+    # per-lane select costs full (B, J, M) HBM round-trips per iteration.
+    STATIC_FIELDS = (
+        "op_machine",
+        "op_dur",
+        "op_pos",
+        "cum_before",
+        "num_jobs",
+        "num_machines",
+        "max_time_op",
+        "max_time_jobs",
+        "sum_op",
+    )
+
+    def dynamic_fields(self) -> dict:
+        """The non-static fields as a dict (the mutable simulation state)."""
+        return {
+            k: getattr(self, k)
+            for k in self.__dataclass_fields__
+            if k not in self.STATIC_FIELDS
+        }
+
     # --- conveniences -----------------------------------------------------
     @property
     def jobs_pad(self) -> int:

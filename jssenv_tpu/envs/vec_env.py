@@ -67,9 +67,15 @@ class JssVectorEnv:
     def _step_impl(state, fresh, actions, autoreset: bool):
         new_state, tr = vector.vstep(state, actions)
         makespans = jnp.where(tr.done, new_state.time, 0)
-        out = (
-            vector.select_lanes(tr.done, fresh, new_state) if autoreset else new_state
-        )
+        if autoreset:
+            # select only dynamic fields — static tables are shared (see
+            # vector.step_autoreset)
+            picked = vector.select_lanes(
+                tr.done, fresh.dynamic_fields(), new_state.dynamic_fields()
+            )
+            out = new_state.replace(**picked)
+        else:
+            out = new_state
         return out, tr, makespans
 
     # --- public API ---

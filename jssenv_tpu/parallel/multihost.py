@@ -102,6 +102,11 @@ def host_sharded_batch(
     local_state = jax.vmap(
         lambda a, b, c, d: _init(a, b, c, d)
     )(jnp.asarray(om), jnp.asarray(od), jnp.asarray(nj), jnp.asarray(nm))
+    from jssenv_tpu.core import engine as _engine
+
+    local_state = _engine.compact_static_tables(
+        local_state, max_job_length=int(np.asarray(source.op_dur).sum(axis=2).max())
+    )
     sharding = NamedSharding(mesh, P(axis_name))
     global_shape_of = lambda x: (global_batch,) + x.shape[1:]
     return jax.tree.map(

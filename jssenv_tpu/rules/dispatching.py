@@ -47,7 +47,7 @@ def current_op_duration(state: EnvState) -> jax.Array:
     """(J,) duration of each job's current op — SPT key (dispatching.py:105-106)."""
     mp = state.machines_pad
     op = jnp.clip(state.next_op, 0, mp - 1)
-    return jnp.take_along_axis(state.op_dur, op[:, None], axis=1)[:, 0]
+    return jnp.take_along_axis(state.op_dur, op[:, None], axis=1)[:, 0].astype(jnp.int32)
 
 
 def idle_since_last_op(state: EnvState) -> jax.Array:
@@ -58,15 +58,13 @@ def idle_since_last_op(state: EnvState) -> jax.Array:
 def remaining_work(state: EnvState) -> jax.Array:
     """(J,) total processing time of ops not yet started — MWR/LWR/CR key
     (suffix sum over instance_matrix[j][todo:], dispatching.py:186-189)."""
+    cum = jnp.cumsum(state.op_dur, axis=1, dtype=jnp.int32)
     consumed = jnp.take_along_axis(
-        jnp.concatenate(
-            [jnp.zeros_like(state.op_dur[:, :1]), jnp.cumsum(state.op_dur, axis=1)],
-            axis=1,
-        ),
+        jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum], axis=1),
         jnp.clip(state.next_op, 0, state.machines_pad)[:, None],
         axis=1,
     )[:, 0]
-    return jnp.sum(state.op_dur, axis=1) - consumed
+    return jnp.sum(state.op_dur, axis=1, dtype=jnp.int32) - consumed
 
 
 def remaining_ops(state: EnvState) -> jax.Array:

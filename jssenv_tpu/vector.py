@@ -88,7 +88,9 @@ def make_batch(
     od = jnp.asarray(source.op_dur)[idx]
     nj = jnp.asarray(source.num_jobs)[idx]
     nm = jnp.asarray(source.num_machines)[idx]
-    return jax.vmap(engine.init_state)(om, od, nj, nm)
+    state = jax.vmap(engine.init_state)(om, od, nj, nm)
+    max_job_length = int(np.asarray(source.op_dur).sum(axis=2).max())
+    return engine.compact_static_tables(state, max_job_length=max_job_length)
 
 
 vstep = jax.vmap(engine.step)
@@ -133,7 +135,12 @@ def step_autoreset(
         total_return=stats.total_return + jnp.sum(tr.reward),
         steps=stats.steps + jnp.int32(actions.shape[0]),
     )
-    reset_state = select_lanes(finished, vreset(new_state), new_state)
+    # select only the DYNAMIC fields between fresh and stepped state: the
+    # static instance tables are identical on both sides, and selecting them
+    # would round-trip every (B, J, M) table through HBM each step
+    fresh = vreset(new_state)
+    picked = select_lanes(finished, fresh.dynamic_fields(), new_state.dynamic_fields())
+    reset_state = new_state.replace(**picked)
     return reset_state, tr, stats
 
 
@@ -182,7 +189,8 @@ def episode_makespans(
         # freeze finished lanes: step everyone, keep old state on done lanes
         new_state, tr = vstep(state, actions)
         keep = done_seen  # lanes already finished before this step
-        state = select_lanes(keep, state, new_state)
+        picked = select_lanes(keep, state.dynamic_fields(), new_state.dynamic_fields())
+        state = new_state.replace(**picked)
         newly = ~keep & tr.done
         ms = jnp.where(newly, new_state.time, ms)
         ret = ret + jnp.where(keep, 0.0, tr.reward)
