@@ -151,7 +151,7 @@ def _fresh_state(
         idle_since_op=jnp.zeros((jp,), jnp.int32),
         pin=jnp.zeros((mp, jp), jnp.bool_),
         noop_pin=jnp.zeros((jp,), jnp.bool_),
-        obs=jnp.zeros((jp, 7), jnp.float32),
+        wait4=jnp.zeros((jp,), jnp.int32),
     )
     # machine_legal[m] = some valid job's first op runs on m (jss_env.py:174-179)
     ml = ops.segment_any(
@@ -268,42 +268,17 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     idle_total = idle_total + jnp.where(waiting, diff, 0)
     idle_since_op = idle_since_op + jnp.where(waiting, diff, 0)
 
-    # observation columns touched by the advance (writers at jss_env.py:539-601)
-    max_op_f = state.max_time_op.astype(jnp.float32)
-    max_jobs_f = state.max_time_jobs.astype(jnp.float32)
-    sum_op_f = state.sum_op.astype(jnp.float32)
-    nm_f = state.num_machines.astype(jnp.float32)
-    obs = state.obs
-    obs = obs.at[:, 1].set(
-        jnp.where(running, job_busy_for.astype(jnp.float32) / max_op_f, obs[:, 1])
-    )
-    obs = obs.at[:, 3].set(
-        jnp.where(running, work_done.astype(jnp.float32) / max_jobs_f, obs[:, 3])
-    )
-    touch_idle = completed | waiting
-    obs = obs.at[:, 5].set(
-        jnp.where(touch_idle, idle_since_op.astype(jnp.float32) / sum_op_f, obs[:, 5])
-    )
-    obs = obs.at[:, 6].set(
-        jnp.where(touch_idle, idle_total.astype(jnp.float32) / sum_op_f, obs[:, 6])
-    )
-    obs = obs.at[:, 2].set(
-        jnp.where(completed, next_op.astype(jnp.float32) / nm_f, obs[:, 2])
-    )
-    # col 4: wait-until-needed-machine-free for continuing jobs, computed from
-    # the PRE-advance machine timers minus diff (jss_env.py:569-578); 1.0
-    # sentinel for finished jobs (jss_env.py:586)
+    # Obs columns 1/2/3/5/6 are derived on demand from the integer state
+    # (EnvState.obs property) — no float work in the advance. Only column 4 is
+    # history-dependent: the "wait until the needed machine frees" of a job
+    # that just completed an op, computed from the PRE-advance machine timers
+    # minus diff (jss_env.py:569-578). The finished-job 1.0 sentinel
+    # (jss_env.py:586) is encoded by needed_machine == -1 at read time.
     wait_next = jnp.maximum(
         0,
         ops.lookup(state.machine_busy_for, jnp.clip(needed_machine, 0, mp - 1)) - diff,
     )
-    obs = obs.at[:, 4].set(
-        jnp.where(
-            continues,
-            wait_next.astype(jnp.float32) / max_op_f,
-            jnp.where(finished_now, 1.0, obs[:, 4]),
-        )
-    )
+    wait4 = jnp.where(continues, wait_next, state.wait4)
 
     # ---- per-machine update (jss_env.py:604-634) ----
     m_valid = state.machine_valid
@@ -346,7 +321,7 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
         needed_machine=needed_machine,
         idle_total=idle_total,
         idle_since_op=idle_since_op,
-        obs=obs,
+        wait4=wait4,
     )
     return new_state, holes
 
@@ -515,12 +490,9 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
 
     kill_alloc = is_alloc & state.legal & (state.needed_machine == state.needed_machine[a])
     machine_busy_for = jnp.where(row_m, dur, state.machine_busy_for)
+    # the reference's obs[a, 1] = dur / max_time_op write (jss_env.py:448) is
+    # implied: column 1 is derived from job_busy_for (EnvState.obs)
     job_busy_for = jnp.where(row_a, dur, state.job_busy_for)
-    obs = jnp.where(
-        row_a[:, None] & (jnp.arange(7) == 1)[None, :],
-        dur.astype(jnp.float32) / state.max_time_op,
-        state.obs,
-    )
     solution = jnp.where(
         row_a[:, None] & (m_idx == op)[None, :], state.time, state.solution
     )
@@ -560,7 +532,6 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
         nb_machine_legal=nb_machine_legal,
         machine_busy_for=machine_busy_for,
         job_busy_for=job_busy_for,
-        obs=obs,
         solution=solution,
         pin=pin,
         noop_pin=noop_pin,

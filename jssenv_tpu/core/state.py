@@ -67,7 +67,16 @@ class EnvState:
       idle_since_op:   (J,) int32   idle since last op finished (idle_time_jobs_last_op)
       pin:             (M, J) bool  sticky no-op pins (illegal_actions)
       noop_pin:        (J,) bool    job currently no-op-pinned (action_illegal_no_op)
-      obs:             (J, 7) float32 normalized real_obs matrix (state)
+      wait4:           (J,) int32   raw integer value behind obs column 4: the
+                                    "wait until the needed machine frees"
+                                    captured when the job last completed an op
+                                    (jss_env.py:569-578). This is the ONLY obs
+                                    quantity that is not a pure function of the
+                                    other state fields — every other column of
+                                    the reference's normalized ``state`` matrix
+                                    is derived on demand (see ``obs``), which
+                                    keeps the (J, 7) float matrix out of the
+                                    fast-forward while_loop carry entirely.
     """
 
     # static instance data
@@ -97,7 +106,7 @@ class EnvState:
     idle_since_op: jax.Array
     pin: jax.Array
     noop_pin: jax.Array
-    obs: jax.Array
+    wait4: jax.Array
 
     # Fields that never change after init_state. Loops and auto-reset selects
     # must NOT carry/select these (see engine.step's fast-forward carry and
@@ -171,7 +180,44 @@ class EnvState:
         """
         return jnp.concatenate([self.legal, self.noop_legal[None]])
 
+    @property
+    def obs(self) -> jax.Array:
+        """(..., J, 7) float32 — the reference's normalized ``state`` matrix,
+        derived from the integer state (writers at jss_env.py:441-601).
+
+        Every column except 4 is a pure function of the current integer state
+        (the reference's conditional writes always fire exactly when the
+        underlying integer quantity changes, so "last written value" ==
+        "current value"); column 4 carries its own history in ``wait4`` with a
+        1.0 sentinel for finished jobs (jss_env.py:586). Column 0 is left 0
+        here and assembled in ``observation()``, exactly like the reference's
+        stored ``state`` before ``_get_current_state_representation`` runs.
+        Broadcasts over any leading batch axes.
+        """
+        f32 = jnp.float32
+        nj = jnp.asarray(self.num_jobs)[..., None]
+        valid = jnp.arange(self.jobs_pad, dtype=jnp.int32) < nj  # (..., J)
+        max_op = jnp.asarray(self.max_time_op)[..., None].astype(f32)
+        max_jobs = jnp.asarray(self.max_time_jobs)[..., None].astype(f32)
+        sum_op = jnp.asarray(self.sum_op)[..., None].astype(f32)
+        nm = jnp.asarray(self.num_machines)[..., None].astype(f32)
+        finished = jnp.asarray(self.needed_machine) == -1
+        cols = jnp.stack(
+            [
+                jnp.zeros_like(jnp.asarray(self.job_busy_for), dtype=f32),
+                self.job_busy_for.astype(f32) / max_op,
+                self.next_op.astype(f32) / nm,
+                self.work_done.astype(f32) / max_jobs,
+                jnp.where(finished, 1.0, self.wait4.astype(f32) / max_op),
+                self.idle_since_op.astype(f32) / sum_op,
+                self.idle_total.astype(f32) / sum_op,
+            ],
+            axis=-1,
+        )
+        return jnp.where(valid[..., None], cols, 0.0)
+
     def observation(self) -> dict:
         """Reference-shaped observation dict (jss_env.py:121-134)."""
-        obs = self.obs.at[:, 0].set(self.legal.astype(self.obs.dtype))
+        obs = self.obs
+        obs = obs.at[..., 0].set(self.legal.astype(obs.dtype))
         return {"real_obs": obs, "action_mask": self.action_mask()}

@@ -162,7 +162,13 @@ class JssEnv(_BASE):
             idle_since_op=jnp.asarray(n.idle_since_op),
             pin=jnp.asarray(n.pin.astype(bool)),
             noop_pin=jnp.asarray(n.noop_pin.astype(bool)),
-            obs=jnp.asarray(n.obs),
+            # the native engine stores the normalized float obs; EnvState keeps
+            # only the integer behind column 4 (wait-until-machine-free at last
+            # op completion) and derives the rest. The round-trip is exact:
+            # wait4 < max_time_op << 2^23.
+            wait4=jnp.asarray(
+                np.rint(n.obs[:, 4] * self._spec.max_time_op).astype(np.int32)
+            ),
         )
 
     # ------------------------------------------------------------------
