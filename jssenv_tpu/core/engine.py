@@ -147,8 +147,9 @@ def _fresh_state(
         next_op=jnp.where(job_valid, 0, num_machines).astype(jnp.int32),
         work_done=jnp.zeros((jp,), jnp.int32),
         needed_machine=jnp.where(job_valid, op_machine[:, 0], -1).astype(jnp.int32),
-        idle_total=jnp.zeros((jp,), jnp.int32),
-        idle_since_op=jnp.zeros((jp,), jnp.int32),
+        op_end_at=jnp.zeros((jp,), jnp.int32),
+        idle_frozen=jnp.zeros((jp,), jnp.int32),
+        idle_total_alloc=jnp.zeros((jp,), jnp.int32),
         pin=jnp.zeros((mp, jp), jnp.bool_),
         noop_pin=jnp.zeros((jp,), jnp.bool_),
         wait4=jnp.zeros((jp,), jnp.int32),
@@ -247,9 +248,12 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     work_done = state.work_done + jnp.where(running, performed, 0)
     completed = running & (job_busy_for == 0)
 
-    idle_gain = diff - was_left  # only meaningful where completed
-    idle_total = state.idle_total + jnp.where(completed, idle_gain, 0)
-    idle_since_op = jnp.where(completed, idle_gain, state.idle_since_op)
+    # Idle accounting is lazy (EnvState.idle_since_op / idle_total): recording
+    # the completion time is the only work the advance does. A completing job's
+    # remaining time always equals the popped event delta (its completion IS an
+    # event, and events pop in order), so the reference's completion-time idle
+    # accrual (jss_env.py:552-555) is identically 0 and ``op_end_at == time``.
+    op_end_at = jnp.where(completed, time, state.op_end_at)
     next_op = state.next_op + completed.astype(jnp.int32)
     finished_now = completed & (next_op == state.num_machines)
     continues = completed & (next_op < state.num_machines)
@@ -262,11 +266,9 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     legal = state.legal & ~drop_legal
     nb_legal = state.nb_legal - jnp.sum(drop_legal, dtype=jnp.int32)
 
-    # waiting jobs accrue idle time (jss_env.py:594-601); uses the pre-update
-    # next_op (identical to post-update for non-running jobs)
-    waiting = (~running) & (state.next_op < state.num_machines) & state.job_valid
-    idle_total = idle_total + jnp.where(waiting, diff, 0)
-    idle_since_op = idle_since_op + jnp.where(waiting, diff, 0)
+    # The reference's per-advance waiting-idle accrual (jss_env.py:594-601)
+    # telescopes to ``time - op_end_at`` and is derived at read time — no
+    # per-iteration work here.
 
     # Obs columns 1/2/3/5/6 are derived on demand from the integer state
     # (EnvState.obs property) — no float work in the advance. Only column 4 is
@@ -319,8 +321,7 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
         next_op=next_op,
         work_done=work_done,
         needed_machine=needed_machine,
-        idle_total=idle_total,
-        idle_since_op=idle_since_op,
+        op_end_at=op_end_at,
         wait4=wait4,
     )
     return new_state, holes
@@ -493,6 +494,13 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     # the reference's obs[a, 1] = dur / max_time_op write (jss_env.py:448) is
     # implied: column 1 is derived from job_busy_for (EnvState.obs)
     job_busy_for = jnp.where(row_a, dur, state.job_busy_for)
+    # freeze the allocated job's lazy idle accounting at the allocation time
+    # (the reference's stored values simply stop accruing while running,
+    # jss_env.py:594-601; allocations happen at the current clock, which the
+    # last advance already accrued to)
+    idle_span = state.time - state.op_end_at
+    idle_frozen = jnp.where(row_a, idle_span, state.idle_frozen)
+    idle_total_alloc = state.idle_total_alloc + jnp.where(row_a, idle_span, 0)
     solution = jnp.where(
         row_a[:, None] & (m_idx == op)[None, :], state.time, state.solution
     )
@@ -535,6 +543,8 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
         solution=solution,
         pin=pin,
         noop_pin=noop_pin,
+        idle_frozen=idle_frozen,
+        idle_total_alloc=idle_total_alloc,
     )
 
     # --- auto fast-forward until some machine is legal (jss_env.py:469-470,
@@ -548,7 +558,14 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     # select on every iteration — carrying the full state would round-trip
     # every (B, J, M) table through HBM each event.
     base_state = state
-    _ff_invariant = ("solution", "pin", "noop_pin", "noop_legal")
+    _ff_invariant = (
+        "solution",
+        "pin",
+        "noop_pin",
+        "noop_legal",
+        "idle_frozen",
+        "idle_total_alloc",
+    )
     dyn0 = {k: v for k, v in state.dynamic_fields().items() if k not in _ff_invariant}
 
     def ff_cond(carry):

@@ -63,8 +63,23 @@ class EnvState:
       work_done:       (J,) int32   total performed work (total_perform_op_time_jobs)
       needed_machine:  (J,) int32   machine of the job's current/next op, -1 when
                                     finished (needed_machine_jobs)
-      idle_total:      (J,) int32   cumulative idle time (total_idle_time_jobs)
-      idle_since_op:   (J,) int32   idle since last op finished (idle_time_jobs_last_op)
+      op_end_at:       (J,) int32   wall-clock time the job's last op completed
+                                    (0 before any completion). Idle accounting
+                                    is derived from this lazily instead of
+                                    being accrued on every time advance: while
+                                    a job waits, its idle-since-last-op is
+                                    exactly ``time - op_end_at`` (completions
+                                    always coincide with the popped event, so
+                                    the reference's per-advance accruals
+                                    telescope to this difference); the value is
+                                    frozen into ``idle_frozen`` at allocation
+                                    (see properties ``idle_since_op`` /
+                                    ``idle_total``)
+      idle_frozen:     (J,) int32   idle-since-last-op frozen at the job's last
+                                    allocation (the visible value while running)
+      idle_total_alloc:(J,) int32   cumulative idle as of the job's last
+                                    allocation (total_idle_time_jobs is this
+                                    plus the current waiting span)
       pin:             (M, J) bool  sticky no-op pins (illegal_actions)
       noop_pin:        (J,) bool    job currently no-op-pinned (action_illegal_no_op)
       wait4:           (J,) int32   raw integer value behind obs column 4: the
@@ -102,8 +117,9 @@ class EnvState:
     next_op: jax.Array
     work_done: jax.Array
     needed_machine: jax.Array
-    idle_total: jax.Array
-    idle_since_op: jax.Array
+    op_end_at: jax.Array
+    idle_frozen: jax.Array
+    idle_total_alloc: jax.Array
     pin: jax.Array
     noop_pin: jax.Array
     wait4: jax.Array
@@ -179,6 +195,35 @@ class EnvState:
         *action id* for no-op remains ``num_jobs`` (see core.engine.step).
         """
         return jnp.concatenate([self.legal, self.noop_legal[None]])
+
+    @property
+    def idle_since_op(self) -> jax.Array:
+        """(..., J) int32 — the reference's ``idle_time_jobs_last_op``, derived.
+
+        Waiting jobs: ``time - op_end_at`` (the per-advance accruals at
+        jss_env.py:552-555, 596-601 telescope to exactly this — a completing
+        job's remaining time always equals the popped event delta, so the
+        completion-time accrual is 0 and waiting spans sum to the full
+        interval). Running jobs: frozen at allocation. Finished jobs: 0.
+        """
+        running = jnp.asarray(self.job_busy_for) > 0
+        finished = jnp.asarray(self.next_op) >= jnp.asarray(self.num_machines)[..., None]
+        span = jnp.asarray(self.time)[..., None] - jnp.asarray(self.op_end_at)
+        return jnp.where(
+            running, self.idle_frozen, jnp.where(finished, 0, span)
+        ).astype(jnp.int32)
+
+    @property
+    def idle_total(self) -> jax.Array:
+        """(..., J) int32 — the reference's ``total_idle_time_jobs``, derived
+        (see ``idle_since_op``): cumulative idle at last allocation plus the
+        current waiting span."""
+        running = jnp.asarray(self.job_busy_for) > 0
+        finished = jnp.asarray(self.next_op) >= jnp.asarray(self.num_machines)[..., None]
+        span = jnp.asarray(self.time)[..., None] - jnp.asarray(self.op_end_at)
+        return (
+            self.idle_total_alloc + jnp.where(running | finished, 0, span)
+        ).astype(jnp.int32)
 
     @property
     def obs(self) -> jax.Array:

@@ -158,8 +158,22 @@ class JssEnv(_BASE):
             next_op=jnp.asarray(n.next_op),
             work_done=jnp.asarray(n.work_done),
             needed_machine=jnp.asarray(n.needed_machine),
-            idle_total=jnp.asarray(n.idle_total),
-            idle_since_op=jnp.asarray(n.idle_since_op),
+            # invert the lazy idle accounting (EnvState.idle_since_op docs):
+            # waiting jobs satisfy since == time - op_end_at and
+            # total == idle_total_alloc + since; running/finished jobs read the
+            # frozen values directly (their op_end_at is dead until overwritten
+            # at the next completion, so time - since is a safe stand-in).
+            op_end_at=jnp.asarray(
+                (np.int32(n.time) - n.idle_since_op).astype(np.int32)
+            ),
+            idle_frozen=jnp.asarray(n.idle_since_op),
+            idle_total_alloc=jnp.asarray(
+                np.where(
+                    (n.job_busy_for > 0) | (n.next_op >= self._spec.num_machines),
+                    n.idle_total,
+                    n.idle_total - n.idle_since_op,
+                ).astype(np.int32)
+            ),
             pin=jnp.asarray(n.pin.astype(bool)),
             noop_pin=jnp.asarray(n.noop_pin.astype(bool)),
             # the native engine stores the normalized float obs; EnvState keeps
