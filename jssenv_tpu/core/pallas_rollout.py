@@ -1,0 +1,759 @@
+"""Pallas TPU kernel: an entire auto-resetting rollout fused into ONE launch.
+
+The XLA rollout (``vector.rollout``) is a ``lax.scan`` whose step body compiles
+to dozens of small kernels; every scan iteration round-trips the full batched
+state through HBM between those kernels. The per-env state is tiny (a few
+hundred int32s), so the whole working set of a batch tile fits comfortably in
+VMEM — which means the *speed-of-light* formulation is a single Pallas kernel
+per batch tile that keeps the state resident on-chip for all ``T`` steps and
+touches HBM exactly twice: initial state load and final stats/state store.
+
+Layout: batch-LAST. Per-job arrays are ``(J, TILE)``, per-machine ``(M,
+TILE)``, per-lane scalars ``(1, TILE)`` — the batch rides the 128-wide lane
+dimension at full density, and the tiny J/M axes ride sublanes. (The XLA
+engine's batch-first ``(B, J)`` layout would waste 128/J of every vector
+register here.)
+
+Semantics are the exact reference semantics, shared with ``core.engine`` —
+allocation/no-op branches, sticky pins, fast-forward ``while``, both mask
+heuristics, idle accounting, reward (reference: JSSEnv/envs/jss_env.py:403-637;
+see core/engine.py for the field-by-field citations). Two operating modes:
+
+* **driven** — the caller supplies the full ``(T, B)`` action sequence; the
+  kernel returns per-step raw rewards and the final state. This mode exists so
+  the kernel's step math is differentially testable against ``engine.step``
+  (tests/test_pallas.py runs it stepwise-identical on the CPU interpreter).
+* **free-running** — a uniform-over-legal-actions policy runs inside the
+  kernel from the on-core PRNG, finished lanes auto-reset, and per-episode
+  stats accumulate on-chip. Each completed episode is additionally checked
+  against the exact reward identity ``raw return == 2*sum_op - M*makespan``
+  (SURVEY.md §2.3 / jss_env.py:483-493) and violations are counted — an
+  on-device end-to-end correctness monitor that costs nothing.
+
+Scope: all lanes must share ONE instance with no job/machine padding (the
+benchmark configs); ragged multi-instance batches take the XLA path.
+
+The irregular primitives (gathers over J/M, per-machine segment reductions)
+are unrolled compile-time loops over the tiny static axes — pure VPU selects,
+no scatters, no 3D temporaries in the hot heuristics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jssenv_tpu.core.state import EnvState
+
+_I32_MAX = np.int32(np.iinfo(np.int32).max)
+
+# dynamic per-lane state fields and their kernel layout kind:
+#   l = (1, TILE) lane scalar, J/M = (J|M, TILE), JM/MJ = 3-D
+_FIELDS = (
+    ("time", "l", jnp.int32),
+    ("legal", "J", jnp.bool_),
+    ("noop_legal", "l", jnp.bool_),
+    ("nb_legal", "l", jnp.int32),
+    ("nb_machine_legal", "l", jnp.int32),
+    ("machine_legal", "M", jnp.bool_),
+    ("solution", "JM", jnp.int32),
+    ("machine_busy_for", "M", jnp.int32),
+    ("job_busy_for", "J", jnp.int32),
+    ("next_op", "J", jnp.int32),
+    ("work_done", "J", jnp.int32),
+    ("needed_machine", "J", jnp.int32),
+    ("op_end_at", "J", jnp.int32),
+    ("idle_frozen", "J", jnp.int32),
+    ("idle_total_alloc", "J", jnp.int32),
+    ("pin", "MJ", jnp.bool_),
+    ("noop_pin", "J", jnp.bool_),
+    ("wait4", "J", jnp.int32),
+)
+_FF_CARRY = (  # fields advance_time may write (fast-forward while_loop carry)
+    "time",
+    "legal",
+    "nb_legal",
+    "nb_machine_legal",
+    "machine_legal",
+    "machine_busy_for",
+    "job_busy_for",
+    "next_op",
+    "work_done",
+    "needed_machine",
+    "op_end_at",
+    "wait4",
+)
+
+
+def _field_shape(kind: str, J: int, M: int, tile: int) -> tuple:
+    return {
+        "l": (1, tile),
+        "J": (J, tile),
+        "M": (M, tile),
+        "JM": (J, M, tile),
+        "MJ": (M, J, tile),
+    }[kind]
+
+
+# ---------------------------------------------------------------------------
+# kernel-side primitives (unrolled over the tiny static J/M axes)
+# ---------------------------------------------------------------------------
+
+
+def _gather_tab(tab, idx, M):
+    """tab (X, M) shared table; idx (X, TILE) in [0, M) -> tab[x, idx[x, b]]."""
+    acc = jnp.zeros(idx.shape, tab.dtype)
+    for m in range(M):
+        acc = jnp.where(idx == m, tab[:, m : m + 1], acc)
+    return acc
+
+
+def _lookup_rows(vec, idx, n):
+    """vec (n, TILE); idx (X, TILE) in [0, n) -> out[x, b] = vec[idx[x,b], b]."""
+    acc = jnp.zeros(idx.shape, vec.dtype)
+    for i in range(n):
+        acc = jnp.where(idx == i, vec[i : i + 1, :], acc)
+    return acc
+
+
+def _pick_row(vec, idx):
+    """vec (J, TILE); idx (1, TILE) -> (1, TILE) vec[idx[b], b] per lane."""
+    return jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, vec.shape, 0) == idx,
+            vec,
+            jnp.zeros_like(vec),
+        ),
+        axis=0,
+        keepdims=True,
+    )
+
+
+def _seg_min(seg, vals, mask, M):
+    """(J,TILE) seg/vals/mask -> (M,TILE): min over j with seg==m & mask."""
+    rows = [
+        jnp.min(jnp.where(mask & (seg == m), vals, _I32_MAX), axis=0, keepdims=True)
+        for m in range(M)
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _seg_any(seg, mask, M):
+    rows = [
+        jnp.any(mask & (seg == m), axis=0, keepdims=True) for m in range(M)
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# step math (exact engine.step semantics, batch-last layout)
+# ---------------------------------------------------------------------------
+
+
+def _make_step(J, M, MAX_OP, tab):
+    """Returns step(s: dict, action (1,TILE)) -> (s', raw_reward (1,TILE))."""
+    op_machine, op_dur, op_pos, cum_before = tab
+    jio = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+    mio = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+
+    def advance(s):
+        """Reference increase_time_step (engine.advance_time twin)."""
+        busy = s["machine_busy_for"] > 0
+        any_busy = jnp.any(busy, axis=0, keepdims=True)
+        diff = jnp.where(
+            any_busy,
+            jnp.min(
+                jnp.where(busy, s["machine_busy_for"], _I32_MAX), axis=0, keepdims=True
+            ),
+            0,
+        )
+        time = s["time"] + diff
+        was_left = s["job_busy_for"]
+        running = was_left > 0
+        performed = jnp.minimum(diff, was_left)
+        job_busy_for = jnp.where(running, jnp.maximum(0, was_left - diff), was_left)
+        work_done = s["work_done"] + jnp.where(running, performed, 0)
+        completed = running & (job_busy_for == 0)
+        op_end_at = jnp.where(completed, time, s["op_end_at"])
+        next_op = s["next_op"] + completed.astype(jnp.int32)
+        finished_now = completed & (next_op == M)
+        continues = completed & (next_op < M)
+        next_machine = _gather_tab(op_machine, jnp.clip(next_op, 0, M - 1), M)
+        needed = jnp.where(
+            continues, next_machine, jnp.where(finished_now, -1, s["needed_machine"])
+        )
+        drop = finished_now & s["legal"]
+        legal = s["legal"] & ~drop
+        nb_legal = s["nb_legal"] - jnp.sum(drop, axis=0, keepdims=True, dtype=jnp.int32)
+        wait_next = jnp.maximum(
+            0,
+            _lookup_rows(s["machine_busy_for"], jnp.clip(needed, 0, M - 1), M) - diff,
+        )
+        wait4 = jnp.where(continues, wait_next, s["wait4"])
+        holes = jnp.sum(
+            jnp.maximum(0, diff - s["machine_busy_for"]),
+            axis=0,
+            keepdims=True,
+            dtype=jnp.int32,
+        )
+        machine_busy_for = jnp.maximum(0, s["machine_busy_for"] - diff)
+        free = machine_busy_for == 0
+        nm_c = jnp.clip(needed, 0, M - 1)
+        pinned = jnp.zeros((J,) + (nm_c.shape[1],), jnp.bool_)
+        for m in range(M):
+            pinned = pinned | ((nm_c == m) & s["pin"][m])
+        cand = (
+            any_busy
+            & (needed >= 0)
+            & _lookup_rows(free, nm_c, M)
+            & ~legal
+            & ~pinned
+        )
+        legal = legal | cand
+        nb_legal = nb_legal + jnp.sum(cand, axis=0, keepdims=True, dtype=jnp.int32)
+        ml_add = _seg_any(nm_c, cand, M)
+        nb_machine_legal = s["nb_machine_legal"] + jnp.sum(
+            ml_add & ~s["machine_legal"], axis=0, keepdims=True, dtype=jnp.int32
+        )
+        machine_legal = s["machine_legal"] | ml_add
+        out = dict(s)
+        out.update(
+            time=time,
+            legal=legal,
+            nb_legal=nb_legal,
+            nb_machine_legal=nb_machine_legal,
+            machine_legal=machine_legal,
+            machine_busy_for=machine_busy_for,
+            job_busy_for=job_busy_for,
+            next_op=next_op,
+            work_done=work_done,
+            needed_machine=needed,
+            op_end_at=op_end_at,
+            wait4=wait4,
+        )
+        return out, holes
+
+    def prioritization(s):
+        m_of = jnp.clip(s["needed_machine"], 0, M - 1)
+        cand = s["legal"] & (s["needed_machine"] >= 0)
+        gate = _lookup_rows(s["machine_legal"], m_of, M)
+        dur_cur = _gather_tab(op_dur, jnp.clip(s["next_op"], 0, M - 1), M)
+        is_final = s["next_op"] == (M - 1)
+        next_m = _gather_tab(op_machine, jnp.clip(s["next_op"] + 1, 0, M - 1), M)
+        eligible = (
+            cand & gate & ~is_final & (_lookup_rows(s["machine_busy_for"], next_m, M) == 0)
+        )
+        min_nf = _seg_min(m_of, dur_cur, eligible, M)
+        kill = cand & gate & is_final & (dur_cur > _lookup_rows(min_nf, m_of, M))
+        s = dict(s)
+        s["legal"] = s["legal"] & ~kill
+        s["nb_legal"] = s["nb_legal"] - jnp.sum(
+            kill, axis=0, keepdims=True, dtype=jnp.int32
+        )
+        return s
+
+    def check_no_op(s):
+        busy = s["machine_busy_for"] > 0
+        any_busy = jnp.any(busy, axis=0, keepdims=True)
+        gate = any_busy & (s["nb_machine_legal"] <= 3) & (s["nb_legal"] <= 4)
+        next_ev = s["time"] + jnp.min(
+            jnp.where(busy, s["machine_busy_for"], _I32_MAX), axis=0, keepdims=True
+        )
+        lj = s["legal"]
+        m1 = jnp.clip(s["needed_machine"], 0, M - 1)
+        t1 = _gather_tab(op_dur, jnp.clip(s["next_op"], 0, M - 1), M)
+        end = s["time"] + t1
+        early_out = jnp.any(lj & (end < next_ev), axis=0, keepdims=True)
+        cap = s["time"] + MAX_OP
+        j_of = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, lj.shape, 0), lj.shape
+        )
+        first_j = _seg_min(m1, j_of, lj, M)  # (M, TILE)
+        has = first_j != _I32_MAX
+        end_first = _lookup_rows(end, jnp.clip(first_j, 0, J - 1), J)
+        contrib = jnp.where(has, jnp.minimum(cap, end_first), -_I32_MAX)
+        max_horizon = jnp.maximum(
+            s["time"], jnp.max(contrib, axis=0, keepdims=True)
+        )
+        mh = jnp.minimum(cap, _seg_min(m1, end, lj, M))  # (M, TILE)
+
+        illegal = ~s["legal"]
+        case1 = illegal & (s["job_busy_for"] > 0) & (s["next_op"] + 1 < M)
+        case2 = illegal & ~case1 & ~s["noop_pin"] & (s["next_op"] < M)
+        start = jnp.where(case1, s["next_op"] + 1, s["next_op"])
+        active = case1 | case2
+        base = jnp.where(
+            case1,
+            s["time"] - s["work_done"],
+            s["time"] + _lookup_rows(s["machine_busy_for"], m1, M) - s["work_done"],
+        )
+        all_covered = jnp.ones_like(gate)
+        for m in range(M):
+            tn = base + cum_before[:, m : m + 1]  # (J, TILE)
+            pos_m = op_pos[:, m : m + 1]
+            ok = active & (pos_m >= start) & (pos_m < (M - 1)) & (max_horizon > tn)
+            tn_min = jnp.min(jnp.where(ok, tn, _I32_MAX), axis=0, keepdims=True)
+            covered = ~s["machine_legal"][m : m + 1, :] | (tn_min < mh[m : m + 1, :])
+            all_covered = all_covered & covered
+        noop = gate & ~early_out & (s["nb_machine_legal"] > 0) & all_covered
+        s = dict(s)
+        s["noop_legal"] = noop
+        return s
+
+    def step(s, action):
+        is_noop = action >= J
+        is_alloc = ~is_noop
+        a = jnp.where(is_alloc, jnp.clip(action, 0, J - 1), 0)  # (1, TILE)
+        row_sel = jio == a  # (J, TILE) one-hot regardless of branch
+        dur_cur_all = _gather_tab(op_dur, jnp.clip(s["next_op"], 0, M - 1), M)
+        op_a = _pick_row(s["next_op"], a)
+        op_c = jnp.clip(op_a, 0, M - 1)
+        nm_a = _pick_row(s["needed_machine"], a)  # unclipped, for kill compare
+        m_a = jnp.clip(nm_a, 0, M - 1)
+        dur = _pick_row(dur_cur_all, a)
+        raw = jnp.where(is_alloc, dur, 0)
+
+        row_a = row_sel & is_alloc  # (J, TILE)
+        row_m = (mio == m_a) & is_alloc  # (M, TILE)
+        kill_alloc = is_alloc & s["legal"] & (s["needed_machine"] == nm_a)
+        machine_busy_for = jnp.where(row_m, dur, s["machine_busy_for"])
+        job_busy_for = jnp.where(row_a, dur, s["job_busy_for"])
+        idle_span = s["time"] - s["op_end_at"]
+        idle_frozen = jnp.where(row_a, idle_span, s["idle_frozen"])
+        idle_total_alloc = s["idle_total_alloc"] + jnp.where(row_a, idle_span, 0)
+        sol_cell = (
+            row_a[:, None, :]
+            & (jax.lax.broadcasted_iota(jnp.int32, (1, M, 1), 1) == op_c[:, None, :])
+        )
+        solution = jnp.where(sol_cell, s["time"][:, None, :], s["solution"])
+        unpinned = jnp.zeros_like(s["noop_pin"])
+        for m in range(M):
+            unpinned = unpinned | (s["pin"][m] & row_m[m : m + 1, :])
+        noop_pin = s["noop_pin"] & ~unpinned
+        pin = s["pin"] & ~row_m[:, None, :]
+
+        nm_clip = jnp.clip(s["needed_machine"], 0, M - 1)
+        pin_add = (
+            (mio[:, :, None] == nm_clip[None, :, :])
+            & s["legal"][None, :, :]
+            & is_noop[None, :, :]
+        )
+        pin = pin | pin_add
+        noop_pin = noop_pin | (is_noop & s["legal"])
+        ml_clear_noop = jnp.any(pin_add, axis=1)
+
+        legal = s["legal"] & ~kill_alloc & ~is_noop
+        nb_legal = jnp.where(
+            is_noop,
+            0,
+            s["nb_legal"]
+            - jnp.sum(kill_alloc, axis=0, keepdims=True, dtype=jnp.int32),
+        )
+        machine_legal = jnp.where(
+            is_noop,
+            s["machine_legal"] & ~ml_clear_noop,
+            s["machine_legal"] & ~row_m,
+        )
+        nb_machine_legal = jnp.where(is_noop, 0, s["nb_machine_legal"] - 1)
+
+        s = dict(s)
+        s.update(
+            legal=legal,
+            nb_legal=nb_legal,
+            machine_legal=machine_legal,
+            nb_machine_legal=nb_machine_legal,
+            machine_busy_for=machine_busy_for,
+            job_busy_for=job_busy_for,
+            solution=solution,
+            pin=pin,
+            noop_pin=noop_pin,
+            idle_frozen=idle_frozen,
+            idle_total_alloc=idle_total_alloc,
+        )
+
+        # fast-forward: advance until every lane has a legal machine (or idle);
+        # the global cond + per-lane select is exactly what vmap makes of the
+        # engine's while_loop
+        pin_now = s["pin"]
+
+        def ff_cond(carry):
+            dyn, _ = carry
+            need = (dyn["nb_machine_legal"] == 0) & jnp.any(
+                dyn["machine_busy_for"] > 0, axis=0, keepdims=True
+            )
+            return jnp.any(need)
+
+        def ff_body(carry):
+            dyn, holes = carry
+            full = dict(s)
+            full.update(dyn)
+            full["pin"] = pin_now
+            adv, h = advance(full)
+            need = (dyn["nb_machine_legal"] == 0) & jnp.any(
+                dyn["machine_busy_for"] > 0, axis=0, keepdims=True
+            )
+            new_dyn = {k: jnp.where(need, adv[k], dyn[k]) for k in dyn}
+            return new_dyn, holes + jnp.where(need, h, 0)
+
+        dyn0 = {k: s[k] for k in _FF_CARRY}
+        dyn, holes = jax.lax.while_loop(
+            ff_cond, ff_body, (dyn0, jnp.zeros_like(raw))
+        )
+        s.update(dyn)
+        raw = raw - holes
+
+        s = prioritization(s)
+        s = check_no_op(s)
+        return s, raw
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _fresh(J, M, tile, op_machine):
+    """Freshly-reset per-lane state (shared instance, no padding)."""
+    first_m = op_machine[:, 0:1]  # (J, 1)
+    ml0 = jnp.concatenate(
+        [jnp.any(first_m == m, axis=0, keepdims=True) for m in range(M)], axis=0
+    )  # (M, 1)
+    nb_ml0 = jnp.sum(ml0, dtype=jnp.int32)
+    z = lambda kind, dt: jnp.zeros(_field_shape(kind, J, M, tile), dt)
+    return {
+        "time": z("l", jnp.int32),
+        "legal": jnp.ones((J, tile), jnp.bool_),
+        "noop_legal": z("l", jnp.bool_),
+        "nb_legal": jnp.full((1, tile), J, jnp.int32),
+        "nb_machine_legal": jnp.full((1, tile), nb_ml0, jnp.int32),
+        "machine_legal": jnp.broadcast_to(ml0, (M, tile)),
+        "solution": jnp.full((J, M, tile), -1, jnp.int32),
+        "machine_busy_for": z("M", jnp.int32),
+        "job_busy_for": z("J", jnp.int32),
+        "next_op": z("J", jnp.int32),
+        "work_done": z("J", jnp.int32),
+        "needed_machine": jnp.broadcast_to(first_m.astype(jnp.int32), (J, tile)),
+        "op_end_at": z("J", jnp.int32),
+        "idle_frozen": z("J", jnp.int32),
+        "idle_total_alloc": z("J", jnp.int32),
+        "pin": z("MJ", jnp.bool_),
+        "noop_pin": z("J", jnp.bool_),
+        "wait4": z("J", jnp.int32),
+    }
+
+
+def _driven_kernel(J, M, T, MAX_OP):
+    names = [f[0] for f in _FIELDS]
+
+    def kernel(om_ref, od_ref, op_ref, cb_ref, actions_ref, *refs):
+        state_in = refs[: len(_FIELDS)]
+        out = refs[len(_FIELDS) :]
+        rewards_ref = out[0]
+        state_out = out[1:]
+        tab = (om_ref[:], od_ref[:], op_ref[:], cb_ref[:])
+        step = _make_step(J, M, MAX_OP, tab)
+        s0 = {n: r[:] for n, r in zip(names, state_in)}
+        tile = s0["time"].shape[1]
+        fresh = _fresh(J, M, tile, tab[0])
+
+        def body(t, s):
+            action = actions_ref[pl.ds(t, 1), :]  # (1, TILE)
+            s, raw = step(s, action)
+            rewards_ref[pl.ds(t, 1), :] = raw
+            # auto-reset finished lanes, matching vector.step_autoreset
+            done = s["nb_legal"] == 0
+            return {k: jnp.where(done, fresh[k], s[k]) for k in s}
+
+        s = jax.lax.fori_loop(0, T, body, s0)
+        for n, r in zip(names, state_out):
+            r[:] = s[n]
+
+    return kernel
+
+
+def _free_kernel(J, M, T, MAX_OP, SUM_OP):
+    names = [f[0] for f in _FIELDS]
+
+    def kernel(seed_ref, om_ref, od_ref, op_ref, cb_ref, *refs):
+        state_in = refs[: len(_FIELDS)]
+        int_out, flt_out = refs[len(_FIELDS) :]
+        tab = (om_ref[:], od_ref[:], op_ref[:], cb_ref[:])
+        step = _make_step(J, M, MAX_OP, tab)
+        s0 = {n: r[:] for n, r in zip(names, state_in)}
+        tile = s0["time"].shape[1]
+        fresh = _fresh(J, M, tile, tab[0])
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        tril = jnp.tril(jnp.ones((J, J), jnp.float32))
+
+        def sample(s):
+            bits = pltpu.prng_random_bits((1, tile))
+            k31 = jax.lax.shift_right_logical(
+                pltpu.bitcast(bits, jnp.int32), 1
+            )  # non-negative int31
+            n = s["nb_legal"] + s["noop_legal"].astype(jnp.int32)
+            k = jax.lax.rem(k31, jnp.maximum(n, 1))
+            csum = jnp.dot(
+                tril,
+                s["legal"].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            chosen = s["legal"] & (csum == (k + 1))
+            job = jnp.sum(
+                jnp.where(
+                    chosen,
+                    jax.lax.broadcasted_iota(jnp.int32, chosen.shape, 0),
+                    0,
+                ),
+                axis=0,
+                keepdims=True,
+            )
+            return jnp.where(k >= s["nb_legal"], J, job)
+
+        acc0 = {
+            "episodes": jnp.zeros((1, tile), jnp.int32),
+            "mk_sum": jnp.zeros((1, tile), jnp.int32),
+            "mk_min": jnp.full((1, tile), _I32_MAX, jnp.int32),
+            "ret": jnp.zeros((1, tile), jnp.float32),
+            "viol": jnp.zeros((1, tile), jnp.int32),
+            "ep_raw": jnp.zeros((1, tile), jnp.int32),
+        }
+
+        def body(t, carry):
+            s, acc = carry
+            action = sample(s)
+            s, raw = step(s, action)
+            done = s["nb_legal"] == 0
+            ep_raw = acc["ep_raw"] + raw
+            identity = 2 * SUM_OP - M * s["time"]
+            acc = {
+                "episodes": acc["episodes"] + done.astype(jnp.int32),
+                "mk_sum": acc["mk_sum"] + jnp.where(done, s["time"], 0),
+                "mk_min": jnp.where(
+                    done, jnp.minimum(acc["mk_min"], s["time"]), acc["mk_min"]
+                ),
+                "ret": acc["ret"] + raw.astype(jnp.float32) / float(MAX_OP),
+                "viol": acc["viol"]
+                + (done & (ep_raw != identity)).astype(jnp.int32),
+                "ep_raw": jnp.where(done, 0, ep_raw),
+            }
+            s = {k: jnp.where(done, fresh[k], s[k]) for k in s}
+            return s, acc
+
+        _, acc = jax.lax.fori_loop(0, T, body, (s0, acc0))
+        int_out[0, 0] = jnp.sum(acc["episodes"])
+        int_out[0, 1] = jnp.sum(acc["mk_sum"])
+        int_out[0, 2] = jnp.min(acc["mk_min"])
+        int_out[0, 3] = jnp.int32(T) * tile
+        int_out[0, 4] = jnp.sum(acc["viol"])
+        flt_out[0, 0] = jnp.sum(acc["ret"])
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host wrappers
+# ---------------------------------------------------------------------------
+
+
+def _check_uniform(state: EnvState) -> Tuple[int, int]:
+    """The kernel requires one shared unpadded instance across all lanes."""
+    J, M = state.jobs_pad, state.machines_pad
+    nj = np.asarray(state.num_jobs)
+    nm = np.asarray(state.num_machines)
+    om = np.asarray(state.op_machine)
+    if not (np.all(nj == J) and np.all(nm == M)):
+        raise ValueError(
+            "pallas rollout needs an unpadded single-instance batch "
+            f"(num_jobs=={J}, num_machines=={M} on every lane); "
+            "use vector.rollout for ragged/padded batches"
+        )
+    if om.ndim == 3 and not (om == om[0]).all():
+        raise ValueError("pallas rollout needs all lanes on the same instance")
+    return J, M
+
+
+def _tables(state: EnvState):
+    """(J, M) int32 static tables from lane 0 (traceable; uniformity across
+    lanes is validated eagerly by _check_uniform before tracing)."""
+    pick = lambda x: jnp.asarray(x[0] if jnp.ndim(x) == 3 else x, jnp.int32)
+    return (
+        pick(state.op_machine),
+        pick(state.op_dur),
+        pick(state.op_pos),
+        pick(state.cum_before),
+    )
+
+
+def _to_lanes(state: EnvState):
+    """Batch-first EnvState dynamic fields -> batch-last kernel arrays."""
+    out = []
+    for name, kind, dt in _FIELDS:
+        x = jnp.asarray(getattr(state, name))
+        if kind == "l":
+            x = x[None, :]  # (1, B)
+        elif kind in ("J", "M"):
+            x = x.T  # (B, X) -> (X, B)
+        else:  # (B, X, Y) -> (X, Y, B)
+            x = jnp.moveaxis(x, 0, -1)
+        out.append(x.astype(dt))
+    return out
+
+
+def _from_lanes(arrays, state: EnvState) -> EnvState:
+    upd = {}
+    for (name, kind, _), x in zip(_FIELDS, arrays):
+        ref = getattr(state, name)
+        if kind == "l":
+            x = x[0]
+        elif kind in ("J", "M"):
+            x = x.T
+        else:
+            x = jnp.moveaxis(x, -1, 0)
+        upd[name] = x.astype(ref.dtype)
+    return state.replace(**upd)
+
+
+def _pick_tile(B: int, tile: Optional[int]) -> int:
+    if tile is None:
+        tile = min(B, 512)
+    if B % tile != 0:
+        raise ValueError(f"batch {B} must be a multiple of tile {tile}")
+    return tile
+
+
+def rollout_driven(
+    state: EnvState,
+    actions: jax.Array,
+    num_steps: int,
+    tile: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[EnvState, jax.Array]:
+    """Run ``num_steps`` with a caller-supplied (T, B) int32 action sequence.
+
+    Finished lanes auto-reset exactly like ``vector.step_autoreset`` (the raw
+    reward of the finishing step is recorded first). Returns (final state,
+    (T, B) int32 raw rewards). Testing-oriented entry point: with the same
+    action stream it is stepwise-identical to the XLA engine.
+    """
+    J, M = _check_uniform(state)
+    B = state.time.shape[0]
+    T = int(num_steps)
+    tile = _pick_tile(B, tile)
+    MAX_OP = int(np.asarray(state.max_time_op).ravel()[0])
+
+    final, rewards = _driven_core(state, jnp.asarray(actions, jnp.int32),
+                                  J, M, T, tile, MAX_OP, interpret)
+    return final, rewards
+
+
+@functools.partial(
+    jax.jit, static_argnames=("J", "M", "T", "tile", "MAX_OP", "interpret")
+)
+def _driven_core(state, actions, J, M, T, tile, MAX_OP, interpret):
+    B = state.time.shape[0]
+    grid = B // tile
+    tab = _tables(state)
+    lanes = _to_lanes(state)
+
+    tab_spec = pl.BlockSpec((J, M), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    act_spec = pl.BlockSpec((T, tile), lambda g: (0, g), memory_space=pltpu.VMEM)
+
+    def field_spec(kind):
+        shp = _field_shape(kind, J, M, tile)
+        zero = (0,) * (len(shp) - 1)
+        return pl.BlockSpec(shp, lambda g, z=zero: z + (g,), memory_space=pltpu.VMEM)
+
+    state_specs = [field_spec(kind) for _, kind, _ in _FIELDS]
+    out_shapes = [jax.ShapeDtypeStruct((T, B), jnp.int32)] + [
+        jax.ShapeDtypeStruct(_field_shape(kind, J, M, B), dt)
+        for _, kind, dt in _FIELDS
+    ]
+    out_specs = [act_spec] + state_specs
+
+    res = pl.pallas_call(
+        _driven_kernel(J, M, T, MAX_OP),
+        grid=(grid,),
+        in_specs=[tab_spec] * 4 + [act_spec] + state_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*tab, actions, *lanes)
+    rewards, final = res[0], res[1:]
+    return _from_lanes(final, state), rewards
+
+
+def rollout_free(
+    state: EnvState,
+    num_steps: int,
+    seed: jax.Array = 0,
+    tile: Optional[int] = None,
+    interpret: bool = False,
+) -> dict:
+    """Free-running random-legal-policy rollout with auto-reset, fully fused.
+
+    Returns summary stats (see module docstring): dict with episodes,
+    total_makespan, min_makespan, steps, identity_violations, total_return.
+    ``identity_violations`` MUST be 0 — any completed episode violating the
+    exact reward identity marks a simulator bug. Assumes ``state`` is freshly
+    reset (the identity accumulator starts at zero).
+    """
+    J, M = _check_uniform(state)
+    B = state.time.shape[0]
+    T = int(num_steps)
+    tile = _pick_tile(B, tile)
+    MAX_OP = int(np.asarray(state.max_time_op).ravel()[0])
+    SUM_OP = int(np.asarray(state.sum_op).ravel()[0])
+    return _free_core(
+        state, jnp.asarray(seed, jnp.int32), J, M, T, tile, MAX_OP, SUM_OP, interpret
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("J", "M", "T", "tile", "MAX_OP", "SUM_OP", "interpret"),
+)
+def _free_core(state, seed, J, M, T, tile, MAX_OP, SUM_OP, interpret):
+    B = state.time.shape[0]
+    grid = B // tile
+    tab = _tables(state)
+    lanes = _to_lanes(state)
+
+    tab_spec = pl.BlockSpec((J, M), lambda g: (0, 0), memory_space=pltpu.VMEM)
+
+    def field_spec(kind):
+        shp = _field_shape(kind, J, M, tile)
+        zero = (0,) * (len(shp) - 1)
+        return pl.BlockSpec(shp, lambda g, z=zero: z + (g,), memory_space=pltpu.VMEM)
+
+    state_specs = [field_spec(kind) for _, kind, _ in _FIELDS]
+    stat_spec = pl.BlockSpec((1, 128), lambda g: (g, 0), memory_space=pltpu.VMEM)
+
+    ints, flts = pl.pallas_call(
+        _free_kernel(J, M, T, MAX_OP, SUM_OP),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [tab_spec] * 4
+        + state_specs,
+        out_specs=[stat_spec, stat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, 128), jnp.int32),
+            jax.ShapeDtypeStruct((grid, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed.reshape(1), *tab, *lanes)
+    return {
+        "episodes": jnp.sum(ints[:, 0]),
+        "total_makespan": jnp.sum(ints[:, 1]),
+        "min_makespan": jnp.min(ints[:, 2]),
+        "steps": jnp.sum(ints[:, 3]),
+        "identity_violations": jnp.sum(ints[:, 4]),
+        "total_return": jnp.sum(flts[:, 0]),
+    }
