@@ -548,12 +548,28 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP):
             return s, acc
 
         _, acc = jax.lax.fori_loop(0, T, body, (s0, acc0))
-        int_out[0, 0] = jnp.sum(acc["episodes"])
-        int_out[0, 1] = jnp.sum(acc["mk_sum"])
-        int_out[0, 2] = jnp.min(acc["mk_min"])
-        int_out[0, 3] = jnp.int32(T) * tile
-        int_out[0, 4] = jnp.sum(acc["viol"])
-        flt_out[0, 0] = jnp.sum(acc["ret"])
+        # Mosaic cannot store scalars to VMEM: assemble the (8, 128) stats
+        # tile as one vector value and store it in a single write.
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+        def tile_of(values, dtype):
+            out = jnp.zeros((8, 128), dtype)
+            for i, v in enumerate(values):
+                out = jnp.where((sub == 0) & (lane == i), v, out)
+            return out
+
+        int_out[0] = tile_of(
+            [
+                jnp.sum(acc["episodes"]),
+                jnp.sum(acc["mk_sum"]),
+                jnp.min(acc["mk_min"]),
+                jnp.int32(T) * tile,
+                jnp.sum(acc["viol"]),
+            ],
+            jnp.int32,
+        )
+        flt_out[0] = tile_of([jnp.sum(acc["ret"])], jnp.float32)
 
     return kernel
 
@@ -734,7 +750,9 @@ def _free_core(state, seed, J, M, T, tile, MAX_OP, SUM_OP, interpret):
         return pl.BlockSpec(shp, lambda g, z=zero: z + (g,), memory_space=pltpu.VMEM)
 
     state_specs = [field_spec(kind) for _, kind, _ in _FIELDS]
-    stat_spec = pl.BlockSpec((1, 128), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec(
+        (1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
 
     ints, flts = pl.pallas_call(
         _free_kernel(J, M, T, MAX_OP, SUM_OP),
@@ -744,16 +762,16 @@ def _free_core(state, seed, J, M, T, tile, MAX_OP, SUM_OP, interpret):
         + state_specs,
         out_specs=[stat_spec, stat_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((grid, 128), jnp.int32),
-            jax.ShapeDtypeStruct((grid, 128), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(seed.reshape(1), *tab, *lanes)
     return {
-        "episodes": jnp.sum(ints[:, 0]),
-        "total_makespan": jnp.sum(ints[:, 1]),
-        "min_makespan": jnp.min(ints[:, 2]),
-        "steps": jnp.sum(ints[:, 3]),
-        "identity_violations": jnp.sum(ints[:, 4]),
-        "total_return": jnp.sum(flts[:, 0]),
+        "episodes": jnp.sum(ints[:, 0, 0]),
+        "total_makespan": jnp.sum(ints[:, 0, 1]),
+        "min_makespan": jnp.min(ints[:, 0, 2]),
+        "steps": jnp.sum(ints[:, 0, 3]),
+        "identity_violations": jnp.sum(ints[:, 0, 4]),
+        "total_return": jnp.sum(flts[:, 0, 0]),
     }
