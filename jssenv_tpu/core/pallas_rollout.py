@@ -55,13 +55,19 @@ _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
 # dynamic per-lane state fields and their kernel layout kind:
 #   l = (1, TILE) lane scalar, J/M = (J|M, TILE), JM/MJ = 3-D
+# Mask fields ride VMEM as int32 (Mosaic cannot truncate an i8 memory load
+# to a i1 vector on this target); the kernel converts to i1 with `!= 0` at
+# load and widens back at store. In-register they are ordinary bool vectors.
+_BOOL_FIELDS = frozenset(
+    {"legal", "noop_legal", "machine_legal", "pin", "noop_pin"}
+)
 _FIELDS = (
     ("time", "l", jnp.int32),
-    ("legal", "J", jnp.bool_),
-    ("noop_legal", "l", jnp.bool_),
+    ("legal", "J", jnp.int32),
+    ("noop_legal", "l", jnp.int32),
     ("nb_legal", "l", jnp.int32),
     ("nb_machine_legal", "l", jnp.int32),
-    ("machine_legal", "M", jnp.bool_),
+    ("machine_legal", "M", jnp.int32),
     ("solution", "JM", jnp.int32),
     ("machine_busy_for", "M", jnp.int32),
     ("job_busy_for", "J", jnp.int32),
@@ -71,10 +77,17 @@ _FIELDS = (
     ("op_end_at", "J", jnp.int32),
     ("idle_frozen", "J", jnp.int32),
     ("idle_total_alloc", "J", jnp.int32),
-    ("pin", "MJ", jnp.bool_),
-    ("noop_pin", "J", jnp.bool_),
+    ("pin", "MJ", jnp.int32),
+    ("noop_pin", "J", jnp.int32),
     ("wait4", "J", jnp.int32),
 )
+
+
+def _load_state(names, state_in):
+    return {
+        n: (r[:] != 0) if n in _BOOL_FIELDS else r[:]
+        for n, r in zip(names, state_in)
+    }
 _FF_CARRY = (  # fields advance_time may write (fast-forward while_loop carry)
     "time",
     "legal",
@@ -460,7 +473,7 @@ def _driven_kernel(J, M, T, MAX_OP):
         state_out = out[1:]
         tab = (om_ref[:], od_ref[:], op_ref[:], cb_ref[:])
         step = _make_step(J, M, MAX_OP, tab)
-        s0 = {n: r[:] for n, r in zip(names, state_in)}
+        s0 = _load_state(names, state_in)
         tile = s0["time"].shape[1]
         fresh = _fresh(J, M, tile, tab[0])
 
@@ -474,7 +487,8 @@ def _driven_kernel(J, M, T, MAX_OP):
 
         s = jax.lax.fori_loop(0, T, body, s0)
         for n, r in zip(names, state_out):
-            r[:] = s[n]
+            v = s[n]
+            r[:] = v.astype(jnp.int32) if n in _BOOL_FIELDS else v
 
     return kernel
 
@@ -487,7 +501,7 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP):
         int_out, flt_out = refs[len(_FIELDS) :]
         tab = (om_ref[:], od_ref[:], op_ref[:], cb_ref[:])
         step = _make_step(J, M, MAX_OP, tab)
-        s0 = {n: r[:] for n, r in zip(names, state_in)}
+        s0 = _load_state(names, state_in)
         tile = s0["time"].shape[1]
         fresh = _fresh(J, M, tile, tab[0])
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
