@@ -53,21 +53,21 @@ from jssenv_tpu.core.state import EnvState
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
-# dynamic per-lane state fields and their kernel layout kind:
-#   l = (1, TILE) lane scalar, J/M = (J|M, TILE), JM/MJ = 3-D
-# Mask fields ride VMEM as int32 (Mosaic cannot truncate an i8 memory load
-# to a i1 vector on this target); the kernel converts to i1 with `!= 0` at
-# load and widens back at store. In-register they are ordinary bool vectors.
-_BOOL_FIELDS = frozenset(
-    {"legal", "noop_legal", "machine_legal", "pin", "noop_pin"}
-)
+# dynamic per-lane state fields: (name, kernel layout kind, LOGICAL dtype);
+#   l = (1, TILE) lane scalar, J/M = (J|M, TILE), JM/MJ = 3-D.
+# Mask fields are declared with their logical dtype (jnp.bool_); the int32
+# VMEM storage dtype and the load/store conversion set are DERIVED from it
+# below (single-sourced). Storage is int32 because Mosaic cannot truncate an
+# i8 memory load to an i1 vector on this target; the kernel converts to i1
+# with `!= 0` at load and widens back at store. In-register they are
+# ordinary bool vectors.
 _FIELDS = (
     ("time", "l", jnp.int32),
-    ("legal", "J", jnp.int32),
-    ("noop_legal", "l", jnp.int32),
+    ("legal", "J", jnp.bool_),
+    ("noop_legal", "l", jnp.bool_),
     ("nb_legal", "l", jnp.int32),
     ("nb_machine_legal", "l", jnp.int32),
-    ("machine_legal", "M", jnp.int32),
+    ("machine_legal", "M", jnp.bool_),
     ("solution", "JM", jnp.int32),
     ("machine_busy_for", "M", jnp.int32),
     ("job_busy_for", "J", jnp.int32),
@@ -77,16 +77,37 @@ _FIELDS = (
     ("op_end_at", "J", jnp.int32),
     ("idle_frozen", "J", jnp.int32),
     ("idle_total_alloc", "J", jnp.int32),
-    ("pin", "MJ", jnp.int32),
-    ("noop_pin", "J", jnp.int32),
+    ("pin", "MJ", jnp.bool_),
+    ("noop_pin", "J", jnp.bool_),
     ("wait4", "J", jnp.int32),
 )
+_BOOL_FIELDS = frozenset(n for n, _, dt in _FIELDS if dt == jnp.bool_)
+
+
+def _storage_dtype(dt):
+    """VMEM storage dtype for a logical field dtype (bools ride as int32)."""
+    return jnp.int32 if dt == jnp.bool_ else dt
 
 
 def _load_state(names, state_in):
     return {
         n: (r[:] != 0) if n in _BOOL_FIELDS else r[:]
         for n, r in zip(names, state_in)
+    }
+
+
+def _widen_masks(s):
+    """int32-carry form for loop boundaries: Mosaic cannot carry i1 vregs
+    through scf.for/scf.while (tpu.roll_vectors on i1 is unsupported)."""
+    return {
+        k: v.astype(jnp.int32) if k in _BOOL_FIELDS else v for k, v in s.items()
+    }
+
+
+def _narrow_masks(s):
+    return {
+        k: (v != 0) if (k in _BOOL_FIELDS and v.dtype != jnp.bool_) else v
+        for k, v in s.items()
     }
 _FF_CARRY = (  # fields advance_time may write (fast-forward while_loop carry)
     "time",
@@ -119,11 +140,20 @@ def _field_shape(kind: str, J: int, M: int, tile: int) -> tuple:
 # ---------------------------------------------------------------------------
 
 
+def _sel(c, a, b):
+    """``jnp.where`` that lowers boolean selects to bitwise ops: Mosaic cannot
+    lower an i1-result vector select on this target ("Unsupported target
+    bitwidth for truncation" on the i8->i1 trunci it emits)."""
+    if jnp.result_type(a) == jnp.bool_ and jnp.result_type(b) == jnp.bool_:
+        return (c & a) | (~c & b)
+    return jnp.where(c, a, b)
+
+
 def _gather_tab(tab, idx, M):
     """tab (X, M) shared table; idx (X, TILE) in [0, M) -> tab[x, idx[x, b]]."""
     acc = jnp.zeros(idx.shape, tab.dtype)
     for m in range(M):
-        acc = jnp.where(idx == m, tab[:, m : m + 1], acc)
+        acc = _sel(idx == m, tab[:, m : m + 1], acc)
     return acc
 
 
@@ -131,7 +161,7 @@ def _lookup_rows(vec, idx, n):
     """vec (n, TILE); idx (X, TILE) in [0, n) -> out[x, b] = vec[idx[x,b], b]."""
     acc = jnp.zeros(idx.shape, vec.dtype)
     for i in range(n):
-        acc = jnp.where(idx == i, vec[i : i + 1, :], acc)
+        acc = _sel(idx == i, vec[i : i + 1, :], acc)
     return acc
 
 
@@ -158,10 +188,12 @@ def _seg_min(seg, vals, mask, M):
 
 
 def _seg_any(seg, mask, M):
+    # concatenate in int32: Mosaic cannot concatenate/bitcast i1 vregs
     rows = [
-        jnp.any(mask & (seg == m), axis=0, keepdims=True) for m in range(M)
+        jnp.any(mask & (seg == m), axis=0, keepdims=True).astype(jnp.int32)
+        for m in range(M)
     ]
-    return jnp.concatenate(rows, axis=0)
+    return jnp.concatenate(rows, axis=0) != 0
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +400,7 @@ def _make_step(J, M, MAX_OP, tab):
             s["nb_legal"]
             - jnp.sum(kill_alloc, axis=0, keepdims=True, dtype=jnp.int32),
         )
-        machine_legal = jnp.where(
+        machine_legal = _sel(
             is_noop,
             s["machine_legal"] & ~ml_clear_noop,
             s["machine_legal"] & ~row_m,
@@ -403,7 +435,8 @@ def _make_step(J, M, MAX_OP, tab):
             return jnp.any(need)
 
         def ff_body(carry):
-            dyn, holes = carry
+            dyn_w, holes = carry
+            dyn = _narrow_masks(dyn_w)
             full = dict(s)
             full.update(dyn)
             full["pin"] = pin_now
@@ -411,14 +444,14 @@ def _make_step(J, M, MAX_OP, tab):
             need = (dyn["nb_machine_legal"] == 0) & jnp.any(
                 dyn["machine_busy_for"] > 0, axis=0, keepdims=True
             )
-            new_dyn = {k: jnp.where(need, adv[k], dyn[k]) for k in dyn}
-            return new_dyn, holes + jnp.where(need, h, 0)
+            new_dyn = {k: _sel(need, adv[k], dyn[k]) for k in dyn}
+            return _widen_masks(new_dyn), holes + jnp.where(need, h, 0)
 
-        dyn0 = {k: s[k] for k in _FF_CARRY}
+        dyn0 = _widen_masks({k: s[k] for k in _FF_CARRY})
         dyn, holes = jax.lax.while_loop(
             ff_cond, ff_body, (dyn0, jnp.zeros_like(raw))
         )
-        s.update(dyn)
+        s.update(_narrow_masks(dyn))
         raw = raw - holes
 
         s = prioritization(s)
@@ -436,8 +469,15 @@ def _make_step(J, M, MAX_OP, tab):
 def _fresh(J, M, tile, op_machine):
     """Freshly-reset per-lane state (shared instance, no padding)."""
     first_m = op_machine[:, 0:1]  # (J, 1)
-    ml0 = jnp.concatenate(
-        [jnp.any(first_m == m, axis=0, keepdims=True) for m in range(M)], axis=0
+    ml0 = (
+        jnp.concatenate(
+            [
+                jnp.any(first_m == m, axis=0, keepdims=True).astype(jnp.int32)
+                for m in range(M)
+            ],
+            axis=0,
+        )
+        != 0
     )  # (M, 1)
     nb_ml0 = jnp.sum(ml0, dtype=jnp.int32)
     z = lambda kind, dt: jnp.zeros(_field_shape(kind, J, M, tile), dt)
@@ -477,15 +517,16 @@ def _driven_kernel(J, M, T, MAX_OP):
         tile = s0["time"].shape[1]
         fresh = _fresh(J, M, tile, tab[0])
 
-        def body(t, s):
+        def body(t, sw):
+            s = _narrow_masks(sw)
             action = actions_ref[pl.ds(t, 1), :]  # (1, TILE)
             s, raw = step(s, action)
             rewards_ref[pl.ds(t, 1), :] = raw
             # auto-reset finished lanes, matching vector.step_autoreset
             done = s["nb_legal"] == 0
-            return {k: jnp.where(done, fresh[k], s[k]) for k in s}
+            return _widen_masks({k: _sel(done, fresh[k], s[k]) for k in s})
 
-        s = jax.lax.fori_loop(0, T, body, s0)
+        s = _narrow_masks(jax.lax.fori_loop(0, T, body, _widen_masks(s0)))
         for n, r in zip(names, state_out):
             v = s[n]
             r[:] = v.astype(jnp.int32) if n in _BOOL_FIELDS else v
@@ -541,7 +582,8 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP):
         }
 
         def body(t, carry):
-            s, acc = carry
+            sw, acc = carry
+            s = _narrow_masks(sw)
             action = sample(s)
             s, raw = step(s, action)
             done = s["nb_legal"] == 0
@@ -558,10 +600,10 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP):
                 + (done & (ep_raw != identity)).astype(jnp.int32),
                 "ep_raw": jnp.where(done, 0, ep_raw),
             }
-            s = {k: jnp.where(done, fresh[k], s[k]) for k in s}
+            s = _widen_masks({k: _sel(done, fresh[k], s[k]) for k in s})
             return s, acc
 
-        _, acc = jax.lax.fori_loop(0, T, body, (s0, acc0))
+        _, acc = jax.lax.fori_loop(0, T, body, (_widen_masks(s0), acc0))
         # Mosaic cannot store scalars to VMEM: assemble the (8, 128) stats
         # tile as one vector value and store it in a single write.
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -633,7 +675,7 @@ def _to_lanes(state: EnvState):
             x = x.T  # (B, X) -> (X, B)
         else:  # (B, X, Y) -> (X, Y, B)
             x = jnp.moveaxis(x, 0, -1)
-        out.append(x.astype(dt))
+        out.append(x.astype(_storage_dtype(dt)))
     return out
 
 
@@ -652,6 +694,11 @@ def _from_lanes(arrays, state: EnvState) -> EnvState:
 
 
 def _pick_tile(B: int, tile: Optional[int]) -> int:
+    # VMEM note: per-tile footprint is dominated by the 3-D fields — solution
+    # (J, M, TILE) int32 plus pin (M, J, TILE) stored as int32 — and the
+    # doubled in/out buffers.  At 30x20 and TILE=512 pin alone is ~1.2MB; for
+    # big instances (ta71+: 100x20) pass a smaller tile (e.g. 128) if
+    # pallas_call fails on VMEM.
     if tile is None:
         tile = min(B, 512)
     if B % tile != 0:
@@ -703,7 +750,7 @@ def _driven_core(state, actions, J, M, T, tile, MAX_OP, interpret):
 
     state_specs = [field_spec(kind) for _, kind, _ in _FIELDS]
     out_shapes = [jax.ShapeDtypeStruct((T, B), jnp.int32)] + [
-        jax.ShapeDtypeStruct(_field_shape(kind, J, M, B), dt)
+        jax.ShapeDtypeStruct(_field_shape(kind, J, M, B), _storage_dtype(dt))
         for _, kind, dt in _FIELDS
     ]
     out_specs = [act_spec] + state_specs
