@@ -327,6 +327,121 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     return new_state, holes
 
 
+def fast_forward(state: EnvState) -> Tuple[EnvState, jax.Array]:
+    """Closed-form equivalent of ``while nb_machine_legal == 0 and queue:
+    advance_time()`` (reference jss_env.py:469-470 / 429-430) — ONE update,
+    no loop.
+
+    Key insight: during the auto fast-forward no new allocation happens, so
+    every machine's free time ``f_m = t0 + machine_busy_for[m]`` and every
+    running job's completion time ``c_j = t0 + job_busy_for[j]`` are known at
+    entry, and all per-event updates telescope over the whole span:
+
+    * a job becomes a re-legalization candidate at
+        - ``max(c_j, f_{m'})`` if running with a next op on machine ``m'``
+          (its completion is itself an event; ``m'`` cannot be re-busied), or
+        - ``max(first_event, f_{m_j})`` if waiting (legality is re-evaluated
+          only at event times, hence the first-event clamp), each masked by
+          the same pin/validity conditions as ``advance_time``'s ``cand``;
+    * the loop stops at ``T = min(min_j e_j, last_event)`` (queue drains when
+      no candidate exists), legalizing exactly the jobs with ``e_j == T``;
+    * work/idle/hole accounting over ``[t0, T]`` telescopes:
+      ``holes_m = (T - t0) - min(machine_busy_for[m], T - t0)``; each job
+      completes at most one op in the span (no reallocation), at time ``c_j``.
+
+    Stepwise-identical to iterating ``advance_time`` (tests/test_parity.py,
+    golden replays); exists because a vmapped ``while_loop`` runs every lane
+    for the max iteration count of the batch and relaunches the whole advance
+    kernel per event — the closed form is one fused elementwise block.
+    """
+    jp, mp = state.jobs_pad, state.machines_pad
+    t0 = state.time
+    tua0 = state.machine_busy_for
+    busy0 = tua0 > 0
+    any_busy = jnp.any(busy0)
+    active = (state.nb_machine_legal == 0) & any_busy
+    first_ev = t0 + jnp.min(jnp.where(busy0, tua0, _I32_MAX))
+    last_ev = t0 + jnp.max(tua0)
+
+    running = state.job_busy_for > 0
+    c = t0 + state.job_busy_for  # completion time of running jobs
+    nxt_op = state.next_op + 1
+    cont = running & (nxt_op < state.num_machines)
+    m_next = jnp.clip(
+        ops.row_gather(state.op_machine, jnp.clip(nxt_op, 0, mp - 1)), 0, mp - 1
+    )
+    f_next = t0 + ops.lookup(tua0, m_next)
+    run_ok = cont & ~ops.lookup2d_col(state.pin, m_next)
+    e_run = jnp.maximum(c, f_next)
+
+    mj = jnp.clip(state.needed_machine, 0, mp - 1)
+    waiting = (
+        (~running)
+        & (state.needed_machine >= 0)
+        & ~state.legal
+        & state.job_valid
+        & ~ops.lookup2d_col(state.pin, mj)
+    )
+    e_wait = jnp.maximum(first_ev, t0 + ops.lookup(tua0, mj))
+    e_j = jnp.where(run_ok, e_run, jnp.where(waiting, e_wait, _I32_MAX))
+    T_stop = jnp.minimum(jnp.min(e_j), last_ev)
+    span = T_stop - t0
+
+    # ---- aggregate per-job update over [t0, T_stop] ----
+    performed = jnp.where(running, jnp.minimum(span, state.job_busy_for), 0)
+    job_busy_for = jnp.where(
+        running, jnp.maximum(0, state.job_busy_for - span), state.job_busy_for
+    )
+    work_done = state.work_done + performed
+    completed = running & (c <= T_stop)
+    op_end_at = jnp.where(completed, c, state.op_end_at)
+    next_op = state.next_op + completed.astype(jnp.int32)
+    finished_now = completed & (next_op == state.num_machines)
+    continues = completed & (next_op < state.num_machines)
+    needed_machine = jnp.where(
+        continues, m_next, jnp.where(finished_now, -1, state.needed_machine)
+    )
+    wait4 = jnp.where(continues, jnp.maximum(0, f_next - c), state.wait4)
+    drop_legal = finished_now & state.legal
+    legal = state.legal & ~drop_legal
+    nb_legal = state.nb_legal - jnp.sum(drop_legal, dtype=jnp.int32)
+
+    # ---- aggregate per-machine update ----
+    m_valid = state.machine_valid
+    holes = jnp.sum(
+        jnp.where(m_valid, span - jnp.minimum(tua0, span), 0), dtype=jnp.int32
+    )
+    machine_busy_for = jnp.maximum(0, tua0 - span)
+
+    # ---- re-legalization at T_stop ----
+    cand = e_j == T_stop  # e_j == INT32_MAX lanes can never match (T <= last_ev)
+    legal = legal | cand
+    nb_legal = nb_legal + jnp.sum(cand, dtype=jnp.int32)
+    m_of_cand = jnp.where(run_ok, m_next, mj)
+    ml_add = ops.segment_any(m_of_cand, cand, mp)
+    nb_machine_legal = state.nb_machine_legal + jnp.sum(
+        ml_add & ~state.machine_legal, dtype=jnp.int32
+    )
+    machine_legal = state.machine_legal | ml_add
+
+    sel = lambda new, old: jnp.where(active, new, old)
+    new_state = state.replace(
+        time=sel(T_stop, state.time),
+        legal=sel(legal, state.legal),
+        nb_legal=sel(nb_legal, state.nb_legal),
+        nb_machine_legal=sel(nb_machine_legal, state.nb_machine_legal),
+        machine_legal=sel(machine_legal, state.machine_legal),
+        machine_busy_for=sel(machine_busy_for, state.machine_busy_for),
+        job_busy_for=sel(job_busy_for, state.job_busy_for),
+        next_op=sel(next_op, state.next_op),
+        work_done=sel(work_done, state.work_done),
+        needed_machine=sel(needed_machine, state.needed_machine),
+        op_end_at=sel(op_end_at, state.op_end_at),
+        wait4=sel(wait4, state.wait4),
+    )
+    return new_state, jnp.where(active, holes, 0)
+
+
 # ---------------------------------------------------------------------------
 # mask-shaping heuristics (part of the env contract, SURVEY.md §2.3.5)
 # ---------------------------------------------------------------------------
@@ -549,37 +664,11 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
 
     # --- auto fast-forward until some machine is legal (jss_env.py:469-470,
     # 429-430). The no-op branch of the reference has no queue-emptiness guard
-    # (it would crash on an empty queue); the ``any_busy`` conjunct makes that
-    # case terminate instead.
-    #
-    # The loop carries ONLY the dynamic fields: static instance tables (and
-    # solution/pin, which advance_time never writes) are closed over as
-    # loop-invariant inputs. Under vmap, a while_loop's carry gets a per-lane
-    # select on every iteration — carrying the full state would round-trip
-    # every (B, J, M) table through HBM each event.
-    base_state = state
-    _ff_invariant = (
-        "solution",
-        "pin",
-        "noop_pin",
-        "noop_legal",
-        "idle_frozen",
-        "idle_total_alloc",
-    )
-    dyn0 = {k: v for k, v in state.dynamic_fields().items() if k not in _ff_invariant}
-
-    def ff_cond(carry):
-        dyn, _ = carry
-        return (dyn["nb_machine_legal"] == 0) & jnp.any(dyn["machine_busy_for"] > 0)
-
-    def ff_body(carry):
-        dyn, holes = carry
-        s, h = advance_time(base_state.replace(**dyn))
-        dyn = {k: getattr(s, k) for k in dyn}
-        return dyn, holes + h
-
-    dyn, holes = jax.lax.while_loop(ff_cond, ff_body, (dyn0, jnp.int32(0)))
-    state = state.replace(**dyn)
+    # (it would crash on an empty queue); ``fast_forward``'s any-busy gate
+    # makes that case terminate instead. The whole event loop collapses to one
+    # closed-form update (see fast_forward) — no while_loop, no per-event
+    # kernel relaunch, no vmap max-iteration tax.
+    state, holes = fast_forward(state)
     raw_reward = raw_reward - holes
 
     # --- epilogue: heuristics + scaling (jss_env.py:431-433, 471-474) ---

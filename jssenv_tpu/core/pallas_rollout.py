@@ -109,22 +109,6 @@ def _narrow_masks(s):
         k: (v != 0) if (k in _BOOL_FIELDS and v.dtype != jnp.bool_) else v
         for k, v in s.items()
     }
-_FF_CARRY = (  # fields advance_time may write (fast-forward while_loop carry)
-    "time",
-    "legal",
-    "nb_legal",
-    "nb_machine_legal",
-    "machine_legal",
-    "machine_busy_for",
-    "job_busy_for",
-    "next_op",
-    "work_done",
-    "needed_machine",
-    "op_end_at",
-    "wait4",
-)
-
-
 def _field_shape(kind: str, J: int, M: int, tile: int) -> tuple:
     return {
         "l": (1, tile),
@@ -207,82 +191,103 @@ def _make_step(J, M, MAX_OP, tab):
     jio = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
     mio = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
 
-    def advance(s):
-        """Reference increase_time_step (engine.advance_time twin)."""
-        busy = s["machine_busy_for"] > 0
-        any_busy = jnp.any(busy, axis=0, keepdims=True)
-        diff = jnp.where(
-            any_busy,
-            jnp.min(
-                jnp.where(busy, s["machine_busy_for"], _I32_MAX), axis=0, keepdims=True
-            ),
-            0,
+    def _pin_lookup(pin, idx):
+        """pinned[j, b] = pin[idx[j, b], j, b] for a (J, TILE) machine index."""
+        pinned = jnp.zeros(idx.shape, jnp.bool_)
+        for m in range(M):
+            pinned = pinned | ((idx == m) & pin[m])
+        return pinned
+
+    def fast_forward(s):
+        """Closed-form fast-forward (engine.fast_forward twin, batch-last):
+        the whole ``while nb_machine_legal == 0 and queue`` event loop as one
+        straight-line update — see engine.fast_forward for the derivation."""
+        tua0 = s["machine_busy_for"]
+        busy0 = tua0 > 0
+        any_busy = jnp.any(busy0, axis=0, keepdims=True)
+        active = (s["nb_machine_legal"] == 0) & any_busy
+        first_ev = s["time"] + jnp.min(
+            jnp.where(busy0, tua0, _I32_MAX), axis=0, keepdims=True
         )
-        time = s["time"] + diff
-        was_left = s["job_busy_for"]
-        running = was_left > 0
-        performed = jnp.minimum(diff, was_left)
-        job_busy_for = jnp.where(running, jnp.maximum(0, was_left - diff), was_left)
-        work_done = s["work_done"] + jnp.where(running, performed, 0)
-        completed = running & (job_busy_for == 0)
-        op_end_at = jnp.where(completed, time, s["op_end_at"])
+        last_ev = s["time"] + jnp.max(tua0, axis=0, keepdims=True)
+
+        running = s["job_busy_for"] > 0
+        c = s["time"] + s["job_busy_for"]  # (J, TILE)
+        nxt_op = s["next_op"] + 1
+        cont = running & (nxt_op < M)
+        m_next = _gather_tab(op_machine, jnp.clip(nxt_op, 0, M - 1), M)
+        f_next = s["time"] + _lookup_rows(tua0, m_next, M)
+        run_ok = cont & ~_pin_lookup(s["pin"], m_next)
+        e_run = jnp.maximum(c, f_next)
+
+        mj = jnp.clip(s["needed_machine"], 0, M - 1)
+        waiting = (
+            (~running)
+            & (s["needed_machine"] >= 0)
+            & ~s["legal"]
+            & ~_pin_lookup(s["pin"], mj)
+        )
+        e_wait = jnp.maximum(first_ev, s["time"] + _lookup_rows(tua0, mj, M))
+        e_j = jnp.where(run_ok, e_run, jnp.where(waiting, e_wait, _I32_MAX))
+        T_stop = jnp.minimum(
+            jnp.min(e_j, axis=0, keepdims=True), last_ev
+        )  # (1, TILE)
+        span = T_stop - s["time"]
+
+        performed = jnp.where(running, jnp.minimum(span, s["job_busy_for"]), 0)
+        job_busy_for = jnp.where(
+            running, jnp.maximum(0, s["job_busy_for"] - span), s["job_busy_for"]
+        )
+        work_done = s["work_done"] + performed
+        completed = running & (c <= T_stop)
+        op_end_at = jnp.where(completed, c, s["op_end_at"])
         next_op = s["next_op"] + completed.astype(jnp.int32)
         finished_now = completed & (next_op == M)
         continues = completed & (next_op < M)
-        next_machine = _gather_tab(op_machine, jnp.clip(next_op, 0, M - 1), M)
         needed = jnp.where(
-            continues, next_machine, jnp.where(finished_now, -1, s["needed_machine"])
+            continues, m_next, jnp.where(finished_now, -1, s["needed_machine"])
         )
+        wait4 = jnp.where(continues, jnp.maximum(0, f_next - c), s["wait4"])
         drop = finished_now & s["legal"]
         legal = s["legal"] & ~drop
-        nb_legal = s["nb_legal"] - jnp.sum(drop, axis=0, keepdims=True, dtype=jnp.int32)
-        wait_next = jnp.maximum(
-            0,
-            _lookup_rows(s["machine_busy_for"], jnp.clip(needed, 0, M - 1), M) - diff,
+        nb_legal = s["nb_legal"] - jnp.sum(
+            drop, axis=0, keepdims=True, dtype=jnp.int32
         )
-        wait4 = jnp.where(continues, wait_next, s["wait4"])
         holes = jnp.sum(
-            jnp.maximum(0, diff - s["machine_busy_for"]),
-            axis=0,
-            keepdims=True,
-            dtype=jnp.int32,
+            span - jnp.minimum(tua0, span), axis=0, keepdims=True, dtype=jnp.int32
         )
-        machine_busy_for = jnp.maximum(0, s["machine_busy_for"] - diff)
-        free = machine_busy_for == 0
-        nm_c = jnp.clip(needed, 0, M - 1)
-        pinned = jnp.zeros((J,) + (nm_c.shape[1],), jnp.bool_)
-        for m in range(M):
-            pinned = pinned | ((nm_c == m) & s["pin"][m])
-        cand = (
-            any_busy
-            & (needed >= 0)
-            & _lookup_rows(free, nm_c, M)
-            & ~legal
-            & ~pinned
-        )
+        machine_busy_for = jnp.maximum(0, tua0 - span)
+
+        cand = e_j == T_stop
         legal = legal | cand
         nb_legal = nb_legal + jnp.sum(cand, axis=0, keepdims=True, dtype=jnp.int32)
-        ml_add = _seg_any(nm_c, cand, M)
+        m_of_cand = jnp.where(run_ok, m_next, mj)
+        ml_add = _seg_any(m_of_cand, cand, M)
         nb_machine_legal = s["nb_machine_legal"] + jnp.sum(
             ml_add & ~s["machine_legal"], axis=0, keepdims=True, dtype=jnp.int32
         )
         machine_legal = s["machine_legal"] | ml_add
+
         out = dict(s)
         out.update(
-            time=time,
-            legal=legal,
-            nb_legal=nb_legal,
-            nb_machine_legal=nb_machine_legal,
-            machine_legal=machine_legal,
-            machine_busy_for=machine_busy_for,
-            job_busy_for=job_busy_for,
-            next_op=next_op,
-            work_done=work_done,
-            needed_machine=needed,
-            op_end_at=op_end_at,
-            wait4=wait4,
+            time=jnp.where(active, T_stop, s["time"]),
+            legal=_sel(active, legal, s["legal"]),
+            nb_legal=jnp.where(active, nb_legal, s["nb_legal"]),
+            nb_machine_legal=jnp.where(
+                active, nb_machine_legal, s["nb_machine_legal"]
+            ),
+            machine_legal=_sel(active, machine_legal, s["machine_legal"]),
+            machine_busy_for=jnp.where(
+                active, machine_busy_for, s["machine_busy_for"]
+            ),
+            job_busy_for=jnp.where(active, job_busy_for, s["job_busy_for"]),
+            next_op=jnp.where(active, next_op, s["next_op"]),
+            work_done=jnp.where(active, work_done, s["work_done"]),
+            needed_machine=jnp.where(active, needed, s["needed_machine"]),
+            op_end_at=jnp.where(active, op_end_at, s["op_end_at"]),
+            wait4=jnp.where(active, wait4, s["wait4"]),
         )
-        return out, holes
+        return out, jnp.where(active, holes, 0)
 
     def prioritization(s):
         m_of = jnp.clip(s["needed_machine"], 0, M - 1)
@@ -422,36 +427,9 @@ def _make_step(J, M, MAX_OP, tab):
             idle_total_alloc=idle_total_alloc,
         )
 
-        # fast-forward: advance until every lane has a legal machine (or idle);
-        # the global cond + per-lane select is exactly what vmap makes of the
-        # engine's while_loop
-        pin_now = s["pin"]
-
-        def ff_cond(carry):
-            dyn, _ = carry
-            need = (dyn["nb_machine_legal"] == 0) & jnp.any(
-                dyn["machine_busy_for"] > 0, axis=0, keepdims=True
-            )
-            return jnp.any(need)
-
-        def ff_body(carry):
-            dyn_w, holes = carry
-            dyn = _narrow_masks(dyn_w)
-            full = dict(s)
-            full.update(dyn)
-            full["pin"] = pin_now
-            adv, h = advance(full)
-            need = (dyn["nb_machine_legal"] == 0) & jnp.any(
-                dyn["machine_busy_for"] > 0, axis=0, keepdims=True
-            )
-            new_dyn = {k: _sel(need, adv[k], dyn[k]) for k in dyn}
-            return _widen_masks(new_dyn), holes + jnp.where(need, h, 0)
-
-        dyn0 = _widen_masks({k: s[k] for k in _FF_CARRY})
-        dyn, holes = jax.lax.while_loop(
-            ff_cond, ff_body, (dyn0, jnp.zeros_like(raw))
-        )
-        s.update(_narrow_masks(dyn))
+        # fast-forward: the whole event loop in closed form — straight-line
+        # code, no while_loop, per-lane active gating built into fast_forward
+        s, holes = fast_forward(s)
         raw = raw - holes
 
         s = prioritization(s)
