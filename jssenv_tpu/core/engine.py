@@ -150,7 +150,6 @@ def _fresh_state(
         op_end_at=jnp.zeros((jp,), jnp.int32),
         idle_frozen=jnp.zeros((jp,), jnp.int32),
         idle_total_alloc=jnp.zeros((jp,), jnp.int32),
-        pin=jnp.zeros((mp, jp), jnp.bool_),
         noop_pin=jnp.zeros((jp,), jnp.bool_),
         wait4=jnp.zeros((jp,), jnp.int32),
     )
@@ -292,14 +291,17 @@ def advance_time(state: EnvState) -> Tuple[EnvState, jax.Array]:
     free = (machine_busy_for == 0) & m_valid
 
     # re-legalize jobs whose needed machine became free, unless no-op pinned
-    # (jss_env.py:616-629); gated on any_busy so a queue-empty call is a no-op
+    # (jss_env.py:616-629); gated on any_busy so a queue-empty call is a no-op.
+    # The reference's illegal_actions[m][j] pin guard equals noop_pin[j] here:
+    # a pinned job is always waiting on its pin machine (EnvState.pin), and a
+    # job that just completed an op was running, hence unpinned.
     nm_clip = jnp.clip(needed_machine, 0, mp - 1)
     cand = (
         any_busy
         & (needed_machine >= 0)
         & ops.lookup(free, nm_clip)
         & ~legal
-        & ~ops.lookup2d_col(state.pin, nm_clip)
+        & ~state.noop_pin
         & state.job_valid
     )
     legal = legal | cand
@@ -371,7 +373,9 @@ def fast_forward(state: EnvState) -> Tuple[EnvState, jax.Array]:
         ops.row_gather(state.op_machine, jnp.clip(nxt_op, 0, mp - 1)), 0, mp - 1
     )
     f_next = t0 + ops.lookup(tua0, m_next)
-    run_ok = cont & ~ops.lookup2d_col(state.pin, m_next)
+    # no pin guard needed on cont jobs: they were running, hence unpinned, and
+    # each job visits each machine once so m_next carries no stale pin
+    run_ok = cont
     e_run = jnp.maximum(c, f_next)
 
     mj = jnp.clip(state.needed_machine, 0, mp - 1)
@@ -380,7 +384,7 @@ def fast_forward(state: EnvState) -> Tuple[EnvState, jax.Array]:
         & (state.needed_machine >= 0)
         & ~state.legal
         & state.job_valid
-        & ~ops.lookup2d_col(state.pin, mj)
+        & ~state.noop_pin  # == the reference's illegal_actions[m_j][j] guard
     )
     e_wait = jnp.maximum(first_ev, t0 + ops.lookup(tua0, mj))
     e_j = jnp.where(run_ok, e_run, jnp.where(waiting, e_wait, _I32_MAX))
@@ -619,21 +623,16 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     solution = jnp.where(
         row_a[:, None] & (m_idx == op)[None, :], state.time, state.solution
     )
-    # clear sticky pins on the allocated machine (jss_env.py:464-467)
-    unpinned = (state.pin & row_m[:, None]).any(axis=0)
-    noop_pin = state.noop_pin & ~unpinned
-    pin = state.pin & ~row_m[:, None]
+    # clear sticky pins on the allocated machine (jss_env.py:464-467): pinned
+    # jobs are exactly the noop_pin jobs whose needed machine is m (state.pin)
+    unpin = is_alloc & (jnp.clip(state.needed_machine, 0, mp - 1) == m)
+    noop_pin = state.noop_pin & ~unpin
 
     # --- no-op pre-updates (pin every legal job on its machine) ---
     nm_clip = jnp.clip(state.needed_machine, 0, mp - 1)
-    pin_add = (
-        (jnp.arange(mp, dtype=jnp.int32)[:, None] == nm_clip[None, :])
-        & state.legal[None, :]
-        & is_noop
-    )
-    pin = pin | pin_add
     noop_pin = noop_pin | (is_noop & state.legal)
-    ml_clear_noop = pin_add.any(axis=1)
+    # machines holding a then-legal job lose machine legality on no-op
+    ml_clear_noop = ops.segment_any(nm_clip, state.legal, mp)
 
     legal = state.legal & ~kill_alloc & ~is_noop
     nb_legal = jnp.where(
@@ -656,7 +655,6 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
         machine_busy_for=machine_busy_for,
         job_busy_for=job_busy_for,
         solution=solution,
-        pin=pin,
         noop_pin=noop_pin,
         idle_frozen=idle_frozen,
         idle_total_alloc=idle_total_alloc,

@@ -77,7 +77,6 @@ _FIELDS = (
     ("op_end_at", "J", jnp.int32),
     ("idle_frozen", "J", jnp.int32),
     ("idle_total_alloc", "J", jnp.int32),
-    ("pin", "MJ", jnp.bool_),
     ("noop_pin", "J", jnp.bool_),
     ("wait4", "J", jnp.int32),
 )
@@ -191,13 +190,6 @@ def _make_step(J, M, MAX_OP, tab):
     jio = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
     mio = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
 
-    def _pin_lookup(pin, idx):
-        """pinned[j, b] = pin[idx[j, b], j, b] for a (J, TILE) machine index."""
-        pinned = jnp.zeros(idx.shape, jnp.bool_)
-        for m in range(M):
-            pinned = pinned | ((idx == m) & pin[m])
-        return pinned
-
     def fast_forward(s):
         """Closed-form fast-forward (engine.fast_forward twin, batch-last):
         the whole ``while nb_machine_legal == 0 and queue`` event loop as one
@@ -217,7 +209,7 @@ def _make_step(J, M, MAX_OP, tab):
         cont = running & (nxt_op < M)
         m_next = _gather_tab(op_machine, jnp.clip(nxt_op, 0, M - 1), M)
         f_next = s["time"] + _lookup_rows(tua0, m_next, M)
-        run_ok = cont & ~_pin_lookup(s["pin"], m_next)
+        run_ok = cont  # cont jobs were running, hence unpinned (EnvState.pin)
         e_run = jnp.maximum(c, f_next)
 
         mj = jnp.clip(s["needed_machine"], 0, M - 1)
@@ -225,7 +217,7 @@ def _make_step(J, M, MAX_OP, tab):
             (~running)
             & (s["needed_machine"] >= 0)
             & ~s["legal"]
-            & ~_pin_lookup(s["pin"], mj)
+            & ~s["noop_pin"]
         )
         e_wait = jnp.maximum(first_ev, s["time"] + _lookup_rows(tua0, mj, M))
         e_j = jnp.where(run_ok, e_run, jnp.where(waiting, e_wait, _I32_MAX))
@@ -382,21 +374,12 @@ def _make_step(J, M, MAX_OP, tab):
             & (jax.lax.broadcasted_iota(jnp.int32, (1, M, 1), 1) == op_c[:, None, :])
         )
         solution = jnp.where(sol_cell, s["time"][:, None, :], s["solution"])
-        unpinned = jnp.zeros_like(s["noop_pin"])
-        for m in range(M):
-            unpinned = unpinned | (s["pin"][m] & row_m[m : m + 1, :])
-        noop_pin = s["noop_pin"] & ~unpinned
-        pin = s["pin"] & ~row_m[:, None, :]
-
+        # pin lifecycle via noop_pin only (EnvState.pin invariant): clear on
+        # the allocated machine, set for every then-legal job on no-op
         nm_clip = jnp.clip(s["needed_machine"], 0, M - 1)
-        pin_add = (
-            (mio[:, :, None] == nm_clip[None, :, :])
-            & s["legal"][None, :, :]
-            & is_noop[None, :, :]
-        )
-        pin = pin | pin_add
-        noop_pin = noop_pin | (is_noop & s["legal"])
-        ml_clear_noop = jnp.any(pin_add, axis=1)
+        unpin = is_alloc & (nm_clip == m_a)
+        noop_pin = (s["noop_pin"] & ~unpin) | (is_noop & s["legal"])
+        ml_clear_noop = _seg_any(nm_clip, s["legal"], M)
 
         legal = s["legal"] & ~kill_alloc & ~is_noop
         nb_legal = jnp.where(
@@ -421,7 +404,6 @@ def _make_step(J, M, MAX_OP, tab):
             machine_busy_for=machine_busy_for,
             job_busy_for=job_busy_for,
             solution=solution,
-            pin=pin,
             noop_pin=noop_pin,
             idle_frozen=idle_frozen,
             idle_total_alloc=idle_total_alloc,
@@ -475,7 +457,6 @@ def _fresh(J, M, tile, op_machine):
         "op_end_at": z("J", jnp.int32),
         "idle_frozen": z("J", jnp.int32),
         "idle_total_alloc": z("J", jnp.int32),
-        "pin": z("MJ", jnp.bool_),
         "noop_pin": z("J", jnp.bool_),
         "wait4": z("J", jnp.int32),
     }
@@ -672,11 +653,10 @@ def _from_lanes(arrays, state: EnvState) -> EnvState:
 
 
 def _pick_tile(B: int, tile: Optional[int]) -> int:
-    # VMEM note: per-tile footprint is dominated by the 3-D fields — solution
-    # (J, M, TILE) int32 plus pin (M, J, TILE) stored as int32 — and the
-    # doubled in/out buffers.  At 30x20 and TILE=512 pin alone is ~1.2MB; for
-    # big instances (ta71+: 100x20) pass a smaller tile (e.g. 128) if
-    # pallas_call fails on VMEM.
+    # VMEM note: per-tile footprint is dominated by the one 3-D field —
+    # solution (J, M, TILE) int32 (~1.2MB at 30x20 and TILE=512) — and the
+    # doubled in/out buffers. For big instances (ta71+: 100x20) pass a smaller
+    # tile (e.g. 128) if pallas_call fails on VMEM.
     if tile is None:
         tile = min(B, 512)
     if B % tile != 0:

@@ -80,8 +80,11 @@ class EnvState:
       idle_total_alloc:(J,) int32   cumulative idle as of the job's last
                                     allocation (total_idle_time_jobs is this
                                     plus the current waiting span)
-      pin:             (M, J) bool  sticky no-op pins (illegal_actions)
-      noop_pin:        (J,) bool    job currently no-op-pinned (action_illegal_no_op)
+      noop_pin:        (J,) bool    job currently no-op-pinned (action_illegal_no_op).
+                                    The reference's (M, J) ``illegal_actions``
+                                    pin table is NOT stored: a job is only ever
+                                    pinned on its CURRENT needed machine, so
+                                    the table is derived (see ``pin``)
       wait4:           (J,) int32   raw integer value behind obs column 4: the
                                     "wait until the needed machine frees"
                                     captured when the job last completed an op
@@ -120,7 +123,6 @@ class EnvState:
     op_end_at: jax.Array
     idle_frozen: jax.Array
     idle_total_alloc: jax.Array
-    pin: jax.Array
     noop_pin: jax.Array
     wait4: jax.Array
 
@@ -166,6 +168,24 @@ class EnvState:
     def machine_valid(self) -> jax.Array:
         """(M,) bool — which machine lanes are real (not padding)."""
         return jnp.arange(self.machines_pad, dtype=jnp.int32) < self.num_machines
+
+    @property
+    def pin(self) -> jax.Array:
+        """(..., M, J) bool — the reference's ``illegal_actions`` pin table
+        (jss_env.py:171, 427, 465-467, 622-625), derived.
+
+        Invariant: pins are set on no-op only for then-legal (hence waiting)
+        jobs on their current needed machine, and cleared exactly when that
+        machine is next allocated — before the job can run or advance. So a
+        job is only ever pinned on its current needed machine:
+        ``pin[m, j] == noop_pin[j] & (needed_machine[j] == m)``. Storing only
+        ``noop_pin`` keeps a (B, M, J) tensor out of the hot rollout carry.
+        """
+        m_idx = jnp.arange(self.machines_pad, dtype=jnp.int32)
+        return jnp.asarray(self.noop_pin)[..., None, :] & (
+            jnp.asarray(self.needed_machine)[..., None, :]
+            == m_idx[..., :, None]
+        )
 
     @property
     def any_busy(self) -> jax.Array:

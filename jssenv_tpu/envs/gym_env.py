@@ -174,7 +174,6 @@ class JssEnv(_BASE):
                     n.idle_total - n.idle_since_op,
                 ).astype(np.int32)
             ),
-            pin=jnp.asarray(n.pin.astype(bool)),
             noop_pin=jnp.asarray(n.noop_pin.astype(bool)),
             # the native engine stores the normalized float obs; EnvState keeps
             # only the integer behind column 4 (wait-until-machine-free at last
