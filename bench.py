@@ -49,7 +49,9 @@ def parse_instances(spec: str):
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--instance", default="ta01")
-    p.add_argument("--batch", type=int, default=int(os.environ.get("JSS_BENCH_BATCH", 4096)))
+    # 16384 measured best on one v5e chip (docs/BENCHMARKS.md): launch
+    # overheads amortize up to ~16k lanes, VMEM/HBM stay comfortable
+    p.add_argument("--batch", type=int, default=int(os.environ.get("JSS_BENCH_BATCH", 16384)))
     p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 512)))
     p.add_argument("--warmup-steps", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)

@@ -3,7 +3,7 @@
 This module is the TPU-native re-design of the reference env's imperative core
 (reference: JSSEnv/envs/jss_env.py:145-653). Every reference Python loop over
 jobs/machines becomes a masked tensor op; the event queue becomes a
-min-reduction; the auto fast-forward becomes a ``lax.while_loop``; the two
+min-reduction; the auto fast-forward collapses to a closed form; the two
 mask-shaping heuristics become fixed-shape masked reductions/scans. All
 functions are pure ``EnvState -> EnvState`` maps and compose with
 ``jax.jit``/``jax.vmap``/``shard_map``.
@@ -583,7 +583,7 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
 
     Branch-free formulation: the allocation branch (jss_env.py:441-481) and the
     no-op branch (jss_env.py:419-440) are expressed as masked updates sharing
-    one fast-forward ``while_loop`` and one heuristic epilogue, so a vmapped
+    one closed-form fast-forward and one heuristic epilogue, so a vmapped
     batch never pays for both branches twice.
 
     All single-element updates are one-hot masked writes rather than dynamic
