@@ -189,8 +189,9 @@ def reset(state: EnvState) -> EnvState:
 
     Reuses the static tables and normalizer scalars — no argsort/cumsum/max
     recompute, which matters because auto-resetting rollouts call this every
-    step on the done lanes."""
-    return _fresh_state(
+    step on the done lanes. Preserves a "light" state's zero-row solution
+    shape (vector.strip_solution)."""
+    fresh = _fresh_state(
         op_machine=state.op_machine,
         op_dur=state.op_dur,
         op_pos=state.op_pos,
@@ -201,6 +202,9 @@ def reset(state: EnvState) -> EnvState:
         max_time_jobs=state.max_time_jobs,
         sum_op=state.sum_op,
     )
+    if fresh.solution.shape != state.solution.shape:
+        fresh = fresh.replace(solution=jnp.full_like(state.solution, -1))
+    return fresh
 
 
 def state_from_spec(spec: InstanceSpec, jobs_pad: int = 0, machines_pad: int = 0) -> EnvState:
@@ -620,9 +624,14 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
     idle_span = state.time - state.op_end_at
     idle_frozen = jnp.where(row_a, idle_span, state.idle_frozen)
     idle_total_alloc = state.idle_total_alloc + jnp.where(row_a, idle_span, 0)
-    solution = jnp.where(
-        row_a[:, None] & (m_idx == op)[None, :], state.time, state.solution
-    )
+    # "light" states (vector.strip_solution) carry a zero-row solution; the
+    # shape test is static, so one step definition serves both modes
+    if state.solution.shape[-2]:
+        solution = jnp.where(
+            row_a[:, None] & (m_idx == op)[None, :], state.time, state.solution
+        )
+    else:
+        solution = state.solution
     # clear sticky pins on the allocated machine (jss_env.py:464-467): pinned
     # jobs are exactly the noop_pin jobs whose needed machine is m (state.pin)
     unpin = is_alloc & (jnp.clip(state.needed_machine, 0, mp - 1) == m)

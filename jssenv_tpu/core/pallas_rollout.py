@@ -608,6 +608,11 @@ def _check_uniform(state: EnvState) -> Tuple[int, int]:
         )
     if om.ndim == 3 and not (om == om[0]).all():
         raise ValueError("pallas rollout needs all lanes on the same instance")
+    if state.solution.shape[-2] != J:
+        raise ValueError(
+            "pallas rollout needs a full solution matrix; "
+            "light states (vector.strip_solution) take the XLA path"
+        )
     return J, M
 
 

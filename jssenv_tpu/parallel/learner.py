@@ -395,10 +395,17 @@ def train(
     seed: int = 0,
     log_every: int = 10,
     log_fn=print,
+    light: bool = True,
 ):
-    """Host convenience loop: build envs, shard, and run train steps."""
+    """Host convenience loop: build envs, shard, and run train steps.
+
+    ``light=True`` (default) drops the solution start-time matrix from the
+    env state — training never reads it, and it is the largest rollout-carry
+    tensor (vector.strip_solution)."""
     config = config or LearnerConfig()
     env_state = vector.make_batch(source, batch_size)
+    if light:
+        env_state = vector.strip_solution(env_state)
     rng = jax.random.key(seed)
     ts = init_train_state(rng, env_state, config)
     if mesh is not None:

@@ -97,6 +97,20 @@ vstep = jax.vmap(engine.step)
 vreset = jax.vmap(engine.reset)
 
 
+def strip_solution(state: EnvState) -> EnvState:
+    """Return a "light" state whose solution matrix has zero job rows.
+
+    The (B, J, M) start-time matrix is by far the largest field in the rollout
+    carry (~60% of the bytes) and is only needed when the schedule artifact
+    itself is wanted (rendering, replay, solving). Training and throughput
+    rollouts that only consume observations/rewards/stats run measurably
+    faster without it; ``engine.step``/``reset`` handle the zero-row shape
+    statically, so both modes share one code path. Irreversible: re-make the
+    batch to get the matrix back.
+    """
+    return state.replace(solution=state.solution[..., :0, :])
+
+
 def random_legal_actions(rng: jax.Array, state: EnvState) -> jax.Array:
     """Uniform sample over each env's legal-action mask, entirely on device.
 

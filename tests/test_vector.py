@@ -108,3 +108,21 @@ def test_ragged_instance_batch():
     # ta41 (30x20) lanes must take at least their optimum 2006; ta01 >= 1231
     assert (ms[0::2] >= 1231).all()
     assert (ms[1::2] >= 2006).all()
+
+
+def test_light_rollout_identical_dynamics():
+    """Stripping the solution matrix changes no dynamics: same rng, same
+    stats and same final integer state (minus the artifact)."""
+    import jax
+
+    from jssenv_tpu import instances as inst, vector
+
+    state = vector.make_batch(inst.get_instance("ta01"), 32)
+    full_out, full_stats = vector.rollout(jax.random.key(7), state, num_steps=300)
+    light = vector.strip_solution(state)
+    assert light.solution.shape == (32, 0, 15)
+    light_out, light_stats = vector.rollout(jax.random.key(7), light, num_steps=300)
+    assert int(full_stats.episodes) == int(light_stats.episodes) > 0
+    assert int(full_stats.total_makespan) == int(light_stats.total_makespan)
+    for name in ("time", "legal", "next_op", "work_done", "noop_pin"):
+        assert (getattr(full_out, name) == getattr(light_out, name)).all(), name
