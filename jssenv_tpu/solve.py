@@ -141,12 +141,17 @@ def _solve_scan(state, seed, steps, temperature, num_rules):
     jp = state.jobs_pad
     rng = jax.random.key(seed)
     rule_ids = jnp.arange(B, dtype=jnp.int32) % num_rules
+    # per-lane temperature spread (x0.5 .. x2 around the requested value):
+    # diversifies the exploration/guidance trade-off across the fleet; the
+    # geomspace period is coprime with the rule cycle so all (rule, temp)
+    # combinations occur. temperature=0 stays exactly greedy.
+    temps = temperature * jnp.geomspace(0.5, 2.0, B, dtype=jnp.float32)
     score = _score_fn(num_rules)
     vstep = jax.vmap(engine.step)
 
     def policy(k, s):
         noise = jax.random.gumbel(k, (B, jp), jnp.float32)
-        sc = jax.vmap(score, in_axes=(0, 0, 0, None))(s, rule_ids, noise, temperature)
+        sc = jax.vmap(score)(s, rule_ids, noise, temps)
         masked = jnp.where(s.legal, sc, -jnp.inf)
         a = jnp.argmax(masked, axis=1).astype(jnp.int32)
         return jnp.where(s.legal.any(axis=1), a, s.num_jobs)
