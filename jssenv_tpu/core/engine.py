@@ -634,11 +634,11 @@ def step(state: EnvState, action: jax.Array) -> Tuple[EnvState, Transition]:
         solution = state.solution
     # clear sticky pins on the allocated machine (jss_env.py:464-467): pinned
     # jobs are exactly the noop_pin jobs whose needed machine is m (state.pin)
-    unpin = is_alloc & (jnp.clip(state.needed_machine, 0, mp - 1) == m)
+    nm_clip = jnp.clip(state.needed_machine, 0, mp - 1)
+    unpin = is_alloc & (nm_clip == m)
     noop_pin = state.noop_pin & ~unpin
 
     # --- no-op pre-updates (pin every legal job on its machine) ---
-    nm_clip = jnp.clip(state.needed_machine, 0, mp - 1)
     noop_pin = noop_pin | (is_noop & state.legal)
     # machines holding a then-legal job lose machine legality on no-op
     ml_clear_noop = ops.segment_any(nm_clip, state.legal, mp)

@@ -102,11 +102,21 @@ def solve(
     """Search for a low-makespan schedule with ``batch`` parallel noisy
     rollouts for ``sweeps`` episodes each, fully on device.
 
-    temperature=0 reduces each lane to its greedy portfolio rule (best lane ==
-    best rule); temperatures around 0.5-1.0 trade rule guidance against
-    exploration. ``num_rules`` uses the first N portfolio entries (the order
-    puts the strongest makespan rules first).
+    The first ``num_rules`` lanes always run their rule pure-greedy
+    (temperature 0), so the result is never worse than the best portfolio
+    rule; the remaining lanes spread temperatures around ``temperature``
+    (0.5-1.0 trades rule guidance against exploration). ``num_rules`` uses
+    the first N portfolio entries (the order puts the strongest makespan
+    rules first).
+
+    One instance per call: a multi-instance set would argmin makespans of
+    *different* instances against each other (loop over instances instead).
     """
+    if isinstance(source, InstanceSet) and len(source) > 1:
+        raise ValueError(
+            "solve() searches one instance; loop over the set and call it "
+            "per instance (makespans of different instances are not comparable)"
+        )
     state = vector.make_batch(source, batch)
     J, M = int(np.asarray(state.num_jobs).max()), int(
         np.asarray(state.num_machines).max()
@@ -141,11 +151,13 @@ def _solve_scan(state, seed, steps, temperature, num_rules):
     jp = state.jobs_pad
     rng = jax.random.key(seed)
     rule_ids = jnp.arange(B, dtype=jnp.int32) % num_rules
-    # per-lane temperature spread (x0.5 .. x2 around the requested value):
-    # diversifies the exploration/guidance trade-off across the fleet; the
-    # geomspace period is coprime with the rule cycle so all (rule, temp)
-    # combinations occur. temperature=0 stays exactly greedy.
+    # per-lane temperature spread (x0.5 .. x2 around the requested value)
+    # diversifies the exploration/guidance trade-off across the fleet. The
+    # first num_rules lanes are pinned to temperature 0: one pure-greedy
+    # elite per rule, guaranteeing the result is never worse than the best
+    # portfolio rule regardless of noise draws.
     temps = temperature * jnp.geomspace(0.5, 2.0, B, dtype=jnp.float32)
+    temps = jnp.where(jnp.arange(B) < num_rules, 0.0, temps)
     score = _score_fn(num_rules)
     vstep = jax.vmap(engine.step)
 

@@ -41,16 +41,7 @@ print(f"RESULT {eps} {mk} {t}", flush=True)
 """
 
 
-def test_two_process_distributed_rollout(tmp_path):
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    coord = f"127.0.0.1:{port}"
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    env.pop("JAX_NUM_PROCESSES", None)
+def _launch(coord, repo, env):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, coord, "2", str(i), repo],
@@ -61,9 +52,27 @@ def test_two_process_distributed_rollout(tmp_path):
         )
         for i in range(2)
     ]
+    results = [p.communicate(timeout=420) for p in procs]
+    return procs, results
+
+
+def test_two_process_distributed_rollout(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_NUM_PROCESSES", None)
+    # bind-then-close port picking is racy; retry on a fresh port once rather
+    # than flaking if another process grabbed it in the window
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs, results = _launch(f"127.0.0.1:{port}", repo, env)
+        if all(p.returncode == 0 for p in procs):
+            break
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=420)
+    for p, (out, err) in zip(procs, results):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append([ln for ln in out.splitlines() if ln.startswith("RESULT")][0])
     # both controllers observe the same fully-reduced global stats
