@@ -1,0 +1,204 @@
+"""On-device schedule-space refinement: batched simulated annealing.
+
+Second search stage behind :mod:`jssenv_tpu.solve` (and usable standalone).
+Where ``solve`` searches in *policy* space (noisy dispatching rollouts, one
+env step per allocation), this module searches in *schedule* space: a
+candidate is a per-machine job order, its makespan is the longest path of the
+induced precedence DAG, and thousands of annealing chains run in lockstep on
+device with adjacent-pair swap moves.
+
+The evaluator (``evaluate_orders``) computes the semi-active schedule of an
+order batch by order-driven frontier sweeps: every machine tries to start its
+next-in-order job each sweep; an op is committed once its job predecessor and
+machine predecessor are final, so the sweep loop converges to exactly the DAG
+longest path (one ``lax.while_loop``, all 2-D (B, J)/(B, M) tensors, no
+scatters). Infeasible orders (precedence cycles, reachable via swaps) are
+detected as stalled lanes and priced at INT32_MAX.
+
+Certification: the search treats DAG makespans as the objective; the final
+winner should be re-verified through the exact environment semantics with
+``jssenv_tpu.replay.replay_machine_order`` (``solve.solve(refine_iters=...)``
+does this automatically).
+
+Golden anchor: ``evaluate_orders`` on the published-optimal ta01 order yields
+exactly 1231 (tests/test_anneal.py) — the published optima are the semi-active
+schedules of their orders.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def schedule_tables(op_machine, op_dur, op_pos) -> Tuple[jax.Array, ...]:
+    """Static (J, M) tables the evaluator needs: machine ids, op positions,
+    and durations re-indexed by machine (dur_by_machine[j, m] = duration of
+    job j's op on machine m)."""
+    op_machine = jnp.asarray(op_machine, jnp.int32)
+    op_dur = jnp.asarray(op_dur, jnp.int32)
+    op_pos = jnp.asarray(op_pos, jnp.int32)
+    mp = op_machine.shape[1]
+    dur_by_machine = jnp.take_along_axis(
+        op_dur, jnp.clip(op_pos, 0, mp - 1), axis=1
+    )
+    return op_machine, op_pos, dur_by_machine
+
+
+def evaluate_orders(tables, orders: jax.Array) -> jax.Array:
+    """(B,) int32 makespans of the semi-active schedules of ``orders``.
+
+    ``orders[b, m, r]`` = the r-th job machine m processes. Infeasible orders
+    return INT32_MAX.
+    """
+    op_machine, op_pos, dur_by_machine = tables
+    J, M = op_machine.shape
+    B = orders.shape[0]
+    j_iota = jnp.arange(J, dtype=jnp.int32)
+
+    op_pos_T = op_pos.T  # (M, J): position of machine m's op within job j
+    dur_T = dur_by_machine.T  # (M, J)
+
+    def gather_mj(tab_T, h):
+        """tab_T (M, J) static; h (B, M) job index -> out[b, m] = tab_T[m, h]."""
+        return jnp.take_along_axis(
+            jnp.broadcast_to(tab_T, (B, M, J)), h[:, :, None], axis=2
+        )[:, :, 0]
+
+    def cond(c):
+        ready, free, cnt, done, stuck = c
+        return jnp.any(~stuck & (jnp.sum(cnt, axis=1) < J * M))
+
+    def body(c):
+        ready, free, cnt, done, stuck = c
+        h = jnp.take_along_axis(orders, jnp.clip(cnt, 0, J - 1)[:, :, None], axis=2)[
+            :, :, 0
+        ]  # (B, M) next-in-order job per machine
+        h = jnp.clip(h, 0, J - 1)
+        valid = cnt < J
+        pos_h = gather_mj(op_pos_T, h)  # position of h's op on m within h
+        done_h = jnp.take_along_axis(done, h, axis=1)
+        # commit machine m's head job iff that op is the job's current op
+        # (its job predecessor is then final; the machine predecessor is
+        # final by construction of the frontier)
+        alloc = valid & ~stuck[:, None] & (pos_h == done_h)
+        ready_h = jnp.take_along_axis(ready, h, axis=1)
+        end = jnp.maximum(ready_h, free) + gather_mj(dur_T, h)
+        free = jnp.where(alloc, end, free)
+        cnt = cnt + alloc.astype(jnp.int32)
+        # reflect the committed ops on the job side (each job has its current
+        # op on exactly one machine, so no conflicts)
+        mj = jnp.take_along_axis(
+            jnp.broadcast_to(op_machine, (B, J, M)),
+            jnp.clip(done, 0, M - 1)[:, :, None],
+            axis=2,
+        )[:, :, 0]  # (B, J) machine of each job's current op
+        alloc_j = (
+            (done < M)
+            & jnp.take_along_axis(alloc, mj, axis=1)
+            & (jnp.take_along_axis(h, mj, axis=1) == j_iota)
+        )
+        end_j = jnp.take_along_axis(end, mj, axis=1)
+        ready = jnp.where(alloc_j, end_j, ready)
+        done = done + alloc_j.astype(jnp.int32)
+        progressed = jnp.any(alloc, axis=1)
+        stuck = stuck | (~progressed & (jnp.sum(cnt, axis=1) < J * M))
+        return ready, free, cnt, done, stuck
+
+    init = (
+        jnp.zeros((B, J), jnp.int32),
+        jnp.zeros((B, M), jnp.int32),
+        jnp.zeros((B, M), jnp.int32),
+        jnp.zeros((B, J), jnp.int32),
+        jnp.zeros((B,), jnp.bool_),
+    )
+    ready, free, cnt, done, stuck = jax.lax.while_loop(cond, body, init)
+    complete = jnp.sum(cnt, axis=1) == J * M
+    return jnp.where(complete, jnp.max(ready, axis=1), _I32_MAX)
+
+
+def orders_from_solutions(op_pos, solution: jax.Array) -> jax.Array:
+    """(B, M, J) machine orders from (B, J, M) op start-time matrices
+    (ties and -1 padding resolve by lowest job index via stable argsort)."""
+    B = solution.shape[0]
+    J, M = op_pos.shape
+    start_by_machine = jnp.take_along_axis(
+        solution, jnp.broadcast_to(jnp.clip(op_pos, 0, M - 1), (B, J, M)), axis=2
+    )  # (B, J, M) start of job j's op on machine m
+    return jnp.argsort(
+        jnp.transpose(start_by_machine, (0, 2, 1)), axis=2, stable=True
+    ).astype(jnp.int32)
+
+
+def _swap_adjacent(orders, msel, p):
+    """Swap ranks p and p+1 on machine msel, per lane."""
+    B, M, J = orders.shape
+    row = jnp.take_along_axis(orders, msel[:, None, None], axis=1)[:, 0, :]  # (B, J)
+    v_p = jnp.take_along_axis(row, p[:, None], axis=1)[:, 0]
+    v_q = jnp.take_along_axis(row, (p + 1)[:, None], axis=1)[:, 0]
+    on_m = jnp.arange(M, dtype=jnp.int32)[None, :, None] == msel[:, None, None]
+    pos = jnp.arange(J, dtype=jnp.int32)[None, None, :]
+    sel_p = on_m & (pos == p[:, None, None])
+    sel_q = on_m & (pos == (p + 1)[:, None, None])
+    return jnp.where(
+        sel_p, v_q[:, None, None], jnp.where(sel_q, v_p[:, None, None], orders)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def anneal(
+    tables,
+    orders0: jax.Array,
+    seed: jax.Array,
+    iters: int = 2000,
+    t0_frac: float = 0.10,
+    t1_frac: float = 0.002,
+) -> Tuple[jax.Array, jax.Array]:
+    """Refine an order batch by simulated annealing; returns
+    (best_orders (B, M, J), best_makespans (B,)).
+
+    Moves: one random adjacent swap on a random machine per lane per
+    iteration; Metropolis acceptance with a geometric temperature schedule
+    scaled per lane by the seed makespan (t0_frac/t1_frac of it).
+    """
+    mk0 = evaluate_orders(tables, orders0)
+    B = orders0.shape[0]
+    # lanes whose seed is infeasible anneal from the best feasible seed
+    ref = jnp.argmin(mk0)
+    bad = mk0 == _I32_MAX
+    orders0 = jnp.where(bad[:, None, None], orders0[ref][None], orders0)
+    mk0 = jnp.where(bad, mk0[ref], mk0)
+    scale = jnp.maximum(mk0.astype(jnp.float32), 1.0)
+    J = orders0.shape[2]
+    M = orders0.shape[1]
+    rng = jax.random.key(seed)
+
+    def body(i, carry):
+        rng, orders, mk, best_orders, best_mk = carry
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
+        msel = jax.random.randint(k1, (B,), 0, M, dtype=jnp.int32)
+        p = jax.random.randint(k2, (B,), 0, J - 1, dtype=jnp.int32)
+        prop = _swap_adjacent(orders, msel, p)
+        mk_p = evaluate_orders(tables, prop)
+        frac = i.astype(jnp.float32) / float(max(iters - 1, 1))
+        temp = scale * (t0_frac * (t1_frac / t0_frac) ** frac)
+        delta = (mk_p - mk).astype(jnp.float32)
+        accept = (mk_p < _I32_MAX) & (
+            (delta <= 0) | (jax.random.uniform(k3, (B,)) < jnp.exp(-delta / temp))
+        )
+        orders = jnp.where(accept[:, None, None], prop, orders)
+        mk = jnp.where(accept, mk_p, mk)
+        better = mk_p < best_mk
+        best_orders = jnp.where(better[:, None, None], prop, best_orders)
+        best_mk = jnp.where(better, mk_p, best_mk)
+        return rng, orders, mk, best_orders, best_mk
+
+    carry = (rng, orders0, mk0, orders0, mk0)
+    _, _, _, best_orders, best_mk = jax.lax.fori_loop(0, iters, body, carry)
+    return best_orders, best_mk

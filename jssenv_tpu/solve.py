@@ -98,9 +98,17 @@ def solve(
     temperature: float = 0.7,
     num_rules: int = 5,
     seed: Union[int, jax.Array] = 0,
+    refine_iters: int = 0,
 ) -> SolveResult:
     """Search for a low-makespan schedule with ``batch`` parallel noisy
     rollouts for ``sweeps`` episodes each, fully on device.
+
+    ``refine_iters > 0`` adds a second stage: every lane's best rollout
+    schedule seeds a simulated-annealing chain in schedule space
+    (jssenv_tpu.anneal — adjacent-swap moves, DAG-longest-path evaluation),
+    and the refined winner is CERTIFIED by replaying its machine order
+    through the exact environment semantics; the certified makespan is
+    returned.
 
     The first ``num_rules`` lanes always run their rule pure-greedy
     (temperature 0), so the result is never worse than the best portfolio
@@ -137,11 +145,46 @@ def solve(
     nj = int(np.asarray(state.num_jobs)[lane])
     nm = int(np.asarray(state.num_machines)[lane])
     om = np.asarray(state.op_machine)[lane]
-    return SolveResult(
+    result = SolveResult(
         makespan=int(best_mk[lane]),
         solution=sol[:nj, :nm],
         episodes=int(np.asarray(episodes)),
         op_machine=om.astype(np.int32)[:nj, :nm],
+    )
+    if refine_iters > 0:
+        result = _refine(state, best_sol, result, int(refine_iters), seed)
+    return result
+
+
+def _refine(state, best_sol, rollout_result, iters, seed) -> SolveResult:
+    """Anneal every lane's best rollout schedule in order space and certify
+    the refined winner through the exact engine (see module docstring)."""
+    from jssenv_tpu import anneal, replay
+
+    op_machine = jnp.asarray(state.op_machine[0], jnp.int32)
+    op_dur = jnp.asarray(state.op_dur[0], jnp.int32)
+    op_pos = jnp.asarray(state.op_pos[0], jnp.int32)
+    tables = anneal.schedule_tables(op_machine, op_dur, op_pos)
+    orders0 = anneal.orders_from_solutions(op_pos, jnp.asarray(best_sol))
+    best_orders, best_mk = anneal.anneal(
+        tables, orders0, jnp.asarray(seed, jnp.uint32) + 1, iters
+    )
+    best_mk = np.asarray(best_mk)
+    lane = int(np.argmin(best_mk))
+    if int(best_mk[lane]) >= rollout_result.makespan:
+        return rollout_result  # refinement found nothing better
+    order = np.asarray(best_orders[lane]).tolist()
+    nj, nm = rollout_result.solution.shape
+    certified_mk, final = replay.replay_machine_order(
+        engine.init_state(op_machine, op_dur, nj, nm), order
+    )
+    if certified_mk >= rollout_result.makespan:
+        return rollout_result
+    return SolveResult(
+        makespan=int(certified_mk),
+        solution=np.asarray(final.solution)[:nj, :nm],
+        episodes=rollout_result.episodes,
+        op_machine=rollout_result.op_machine,
     )
 
 
