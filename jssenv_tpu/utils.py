@@ -1,17 +1,17 @@
 """Config plumbing and env factory.
 
 Provides the two integration hooks the reference exposes (``create_env`` for
-Ray/RLlib class lookup, ``assign_env_config`` for attribute-style config
-override — see reference JSSEnv/utils.py:5-60 for the behavioral contract),
-implemented here on top of a small name->factory registry and a typed
-coercion helper so new env flavors (vectorized, native-backed) can register
-themselves without editing this module.
+Ray/RLlib class lookup, ``assign_env_config`` for attribute-style override —
+see reference JSSEnv/utils.py:5-60 for the behavioral contract), implemented
+on top of a name->factory registry and a typed coercion helper so new env
+flavors (vectorized, native-backed) can register themselves without editing
+this module.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Mapping, Optional, Union
+from collections.abc import Callable, Mapping
 
 import numpy as np
 
@@ -19,7 +19,7 @@ import numpy as np
 # Env factory registry
 # ---------------------------------------------------------------------------
 
-_ENV_REGISTRY: Dict[str, Callable[[], type]] = {}
+_ENV_REGISTRY: dict[str, Callable[[], type]] = {}
 
 
 def register_env_class(name: str, loader: Callable[[], type]) -> None:
@@ -51,14 +51,15 @@ register_env_class("jss-v1", _load_gym_env)
 register_env_class("jss-vec-v1", _load_vec_env)
 
 
-def create_env(config: Union[Mapping[str, Any], str], *args: Any, **kwargs: Any) -> type:
-    """Resolve an env name (or a config mapping with an ``env`` key) to its
+def create_env(spec, *extra_pos, **extra_kw) -> type:
+    """Resolve an env name (or a mapping carrying an ``env`` entry) to its
     class, for Ray/RLlib-style integration (parity with reference
     utils.py:32-60: returns the class, not an instance)."""
-    name = config.get("env") if isinstance(config, Mapping) else config
-    loader = _ENV_REGISTRY.get(name)
-    if loader is None:
-        raise NotImplementedError(f"Environment {name} not recognized.")
+    wanted = spec.get("env") if isinstance(spec, Mapping) else spec
+    try:
+        loader = _ENV_REGISTRY[wanted]
+    except KeyError:
+        raise NotImplementedError(f"Environment {wanted} not recognized.") from None
     return loader()
 
 
@@ -67,30 +68,31 @@ def create_env(config: Union[Mapping[str, Any], str], *args: Any, **kwargs: Any)
 # ---------------------------------------------------------------------------
 
 
-def _coerced(current: Any, value: Any) -> Any:
-    """Coerce ``value`` to the type of an existing attribute value.
+def _coerced(current, incoming):
+    """Coerce ``incoming`` to the type of an existing attribute's value.
 
     Arrays pass through unchanged; everything else goes through the current
     value's constructor (so e.g. an int default turns "3" into 3) — matching
     the reference's typed-override behavior (utils.py:21-29).
     """
     if current is None or isinstance(current, np.ndarray):
-        return value
-    return type(current)(value)
+        return incoming
+    return type(current)(incoming)
 
 
-def assign_env_config(obj: Any, overrides: Mapping[str, Any]) -> None:
-    """Apply ``overrides`` as attributes on ``obj``, then re-apply any nested
-    ``obj.env_config`` mapping with type coercion against existing defaults."""
-    for key, value in overrides.items():
-        setattr(obj, key, value)
-    nested = getattr(obj, "env_config", None)
+def assign_env_config(target, overrides) -> None:
+    """Apply ``overrides`` as attributes on ``target``, then re-apply any
+    nested ``target.env_config`` mapping with type coercion against existing
+    defaults (reference utils.py:5-29 contract)."""
+    for attr, raw in overrides.items():
+        setattr(target, attr, raw)
+    nested = getattr(target, "env_config", None)
     if not nested:
         return
-    for key, value in nested.items():
-        if hasattr(obj, key):
-            value = _coerced(getattr(obj, key), value)
-        setattr(obj, key, value)
+    for attr, raw in nested.items():
+        if hasattr(target, attr):
+            raw = _coerced(getattr(target, attr), raw)
+        setattr(target, attr, raw)
 
 
 # ---------------------------------------------------------------------------
@@ -112,17 +114,17 @@ class RunSettings:
     instance: str = "ta80"
     batch_size: int = 4096
     engine: str = "auto"
-    rule_seed: Optional[int] = None
-    mesh_shape: Optional[tuple] = None
+    rule_seed: int | None = None
+    mesh_shape: tuple | None = None
 
-    def env_config(self) -> Dict[str, Any]:
+    def env_config(self) -> dict:
         """Render as the env_config dict the gym wrapper consumes."""
-        cfg: Dict[str, Any] = {"instance_path": self.instance, "engine": self.engine}
+        out: dict = {"instance_path": self.instance, "engine": self.engine}
         if self.rule_seed is not None:
-            cfg["rule_seed"] = self.rule_seed
-        return cfg
+            out["rule_seed"] = self.rule_seed
+        return out
 
     @classmethod
-    def from_mapping(cls, mapping: Mapping[str, Any]) -> "RunSettings":
-        fields = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in mapping.items() if k in fields})
+    def from_mapping(cls, mapping) -> "RunSettings":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in mapping.items() if k in known})
