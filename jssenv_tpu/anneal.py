@@ -5,7 +5,13 @@ Where ``solve`` searches in *policy* space (noisy dispatching rollouts, one
 env step per allocation), this module searches in *schedule* space: a
 candidate is a per-machine job order, its makespan is the longest path of the
 induced precedence DAG, and thousands of annealing chains run in lockstep on
-device with adjacent-pair swap moves.
+device with adjacent-pair swap moves drawn from the *critical-path
+neighborhood*: ops are marked critical via a forward sweep (heads) plus a
+sweep of the time-reversed instance (tails) — critical iff
+``head + dur + tail == makespan`` — and proposals swap a uniformly sampled
+machine-adjacent critical pair (the only adjacent swaps that can reduce the
+makespan; Nowicki & Smutnicki's candidate set), with a small random-swap mix
+for ergodicity.
 
 The evaluator (``evaluate_orders``) computes the semi-active schedule of an
 order batch by order-driven frontier sweeps: every machine tries to start its
@@ -51,16 +57,17 @@ def schedule_tables(op_machine, op_dur, op_pos) -> Tuple[jax.Array, ...]:
     return op_machine, op_pos, dur_by_machine
 
 
-def evaluate_orders(tables, orders: jax.Array) -> jax.Array:
-    """(B,) int32 makespans of the semi-active schedules of ``orders``.
+def _sweep(tables, orders: jax.Array):
+    """Order-driven frontier sweep (module docstring).
 
-    ``orders[b, m, r]`` = the r-th job machine m processes. Infeasible orders
-    return INT32_MAX.
+    Returns ``(mk (B,), starts (B, M, J))``: makespans (INT32_MAX when
+    infeasible) and the start time of the op at each machine rank.
     """
     op_machine, op_pos, dur_by_machine = tables
     J, M = op_machine.shape
     B = orders.shape[0]
     j_iota = jnp.arange(J, dtype=jnp.int32)
+    r_iota = jnp.arange(J, dtype=jnp.int32)[None, None, :]
 
     op_pos_T = op_pos.T  # (M, J): position of machine m's op within job j
     dur_T = dur_by_machine.T  # (M, J)
@@ -72,11 +79,11 @@ def evaluate_orders(tables, orders: jax.Array) -> jax.Array:
         )[:, :, 0]
 
     def cond(c):
-        ready, free, cnt, done, stuck = c
+        ready, free, cnt, done, stuck, starts = c
         return jnp.any(~stuck & (jnp.sum(cnt, axis=1) < J * M))
 
     def body(c):
-        ready, free, cnt, done, stuck = c
+        ready, free, cnt, done, stuck, starts = c
         h = jnp.take_along_axis(orders, jnp.clip(cnt, 0, J - 1)[:, :, None], axis=2)[
             :, :, 0
         ]  # (B, M) next-in-order job per machine
@@ -89,7 +96,13 @@ def evaluate_orders(tables, orders: jax.Array) -> jax.Array:
         # final by construction of the frontier)
         alloc = valid & ~stuck[:, None] & (pos_h == done_h)
         ready_h = jnp.take_along_axis(ready, h, axis=1)
-        end = jnp.maximum(ready_h, free) + gather_mj(dur_T, h)
+        begin = jnp.maximum(ready_h, free)
+        end = begin + gather_mj(dur_T, h)
+        starts = jnp.where(
+            alloc[:, :, None] & (r_iota == cnt[:, :, None]),
+            begin[:, :, None],
+            starts,
+        )
         free = jnp.where(alloc, end, free)
         cnt = cnt + alloc.astype(jnp.int32)
         # reflect the committed ops on the job side (each job has its current
@@ -109,7 +122,7 @@ def evaluate_orders(tables, orders: jax.Array) -> jax.Array:
         done = done + alloc_j.astype(jnp.int32)
         progressed = jnp.any(alloc, axis=1)
         stuck = stuck | (~progressed & (jnp.sum(cnt, axis=1) < J * M))
-        return ready, free, cnt, done, stuck
+        return ready, free, cnt, done, stuck, starts
 
     init = (
         jnp.zeros((B, J), jnp.int32),
@@ -117,10 +130,70 @@ def evaluate_orders(tables, orders: jax.Array) -> jax.Array:
         jnp.zeros((B, M), jnp.int32),
         jnp.zeros((B, J), jnp.int32),
         jnp.zeros((B,), jnp.bool_),
+        jnp.zeros((B, M, J), jnp.int32),
     )
-    ready, free, cnt, done, stuck = jax.lax.while_loop(cond, body, init)
+    ready, free, cnt, done, stuck, starts = jax.lax.while_loop(cond, body, init)
     complete = jnp.sum(cnt, axis=1) == J * M
-    return jnp.where(complete, jnp.max(ready, axis=1), _I32_MAX)
+    return jnp.where(complete, jnp.max(ready, axis=1), _I32_MAX), starts
+
+
+def evaluate_orders(tables, orders: jax.Array) -> jax.Array:
+    """(B,) int32 makespans of the semi-active schedules of ``orders``.
+
+    ``orders[b, m, r]`` = the r-th job machine m processes. Infeasible orders
+    return INT32_MAX.
+    """
+    return _sweep(tables, orders)[0]
+
+
+def reverse_tables(tables):
+    """Tables of the time-reversed instance (job op sequences flipped).
+
+    The forward sweep of the reversed instance computes, for each op, the
+    longest dependency chain *after* it in the original — its tail. Used for
+    criticality: an op is on a critical path iff head + dur + tail == mk.
+    """
+    op_machine, op_pos, dur_by_machine = tables
+    M = op_machine.shape[1]
+    return (
+        jnp.flip(op_machine, axis=1),
+        (M - 1) - op_pos,
+        dur_by_machine,  # keyed by (job, machine): reversal-invariant
+    )
+
+
+def critical_pairs(tables, rtables, orders, mk, starts) -> jax.Array:
+    """(B, M, J) bool: rank r is True iff the ops at ranks (r, r+1) of that
+    machine are BOTH on a critical path (the Nowicki-Smutnicki adjacent-swap
+    candidate set — swapping any other machine-adjacent pair can never reduce
+    the makespan, and swapping a critical pair never creates a cycle).
+
+    ``mk``/``starts`` must come from ``_sweep(tables, orders)``.
+    """
+    _, _, dur_by_machine = tables
+    B, M, J = orders.shape
+    # tail of the op at forward rank r = start of the same op in the
+    # reversed problem, where machine orders flip rank -> J-1-r
+    _, starts_rev = _sweep(rtables, jnp.flip(orders, axis=2))
+    tails = jnp.flip(starts_rev, axis=2)
+    dur_rank = jnp.take_along_axis(
+        jnp.broadcast_to(dur_by_machine.T, (B, M, J)), orders, axis=2
+    )
+    crit = (starts + dur_rank + tails) == mk[:, None, None]
+    pair = crit & jnp.roll(crit, -1, axis=2)
+    return pair.at[:, :, J - 1].set(False)
+
+
+def _sample_true(key, flat):
+    """Uniformly sample one True index per row of ``flat`` (B, N) bool.
+
+    Returns (idx (B,), any (B,)); idx is arbitrary where ``any`` is False.
+    """
+    counts = jnp.cumsum(flat.astype(jnp.int32), axis=1)
+    total = counts[:, -1]
+    u = jax.random.randint(key, total.shape, 0, jnp.maximum(total, 1))
+    idx = jnp.argmax(counts > u[:, None], axis=1)
+    return idx.astype(jnp.int32), total > 0
 
 
 def orders_from_solutions(op_pos, solution: jax.Array) -> jax.Array:
@@ -151,41 +224,53 @@ def _swap_adjacent(orders, msel, p):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def anneal(
     tables,
     orders0: jax.Array,
     seed: jax.Array,
     iters: int = 2000,
-    t0_frac: float = 0.10,
-    t1_frac: float = 0.002,
+    t0_frac: float = 0.08,
+    t1_frac: float = 0.004,
+    p_random: float = 0.05,
 ) -> Tuple[jax.Array, jax.Array]:
     """Refine an order batch by simulated annealing; returns
     (best_orders (B, M, J), best_makespans (B,)).
 
-    Moves: one random adjacent swap on a random machine per lane per
-    iteration; Metropolis acceptance with a geometric temperature schedule
+    Moves: one adjacent swap per lane per iteration, drawn uniformly from the
+    lane's *critical pairs* (``critical_pairs`` — the only adjacent swaps that
+    can reduce the makespan); with probability ``p_random`` (or when no
+    critical pair exists) a uniformly random adjacent pair instead, for
+    ergodicity. Metropolis acceptance with a geometric temperature schedule
     scaled per lane by the seed makespan (t0_frac/t1_frac of it).
     """
-    mk0 = evaluate_orders(tables, orders0)
+    mk0, starts0 = _sweep(tables, orders0)
     B = orders0.shape[0]
     # lanes whose seed is infeasible anneal from the best feasible seed
     ref = jnp.argmin(mk0)
     bad = mk0 == _I32_MAX
     orders0 = jnp.where(bad[:, None, None], orders0[ref][None], orders0)
     mk0 = jnp.where(bad, mk0[ref], mk0)
+    starts0 = jnp.where(bad[:, None, None], starts0[ref][None], starts0)
     scale = jnp.maximum(mk0.astype(jnp.float32), 1.0)
     J = orders0.shape[2]
     M = orders0.shape[1]
+    rtables = reverse_tables(tables)
     rng = jax.random.key(seed)
 
     def body(i, carry):
-        rng, orders, mk, best_orders, best_mk = carry
-        rng, k1, k2, k3 = jax.random.split(rng, 4)
-        msel = jax.random.randint(k1, (B,), 0, M, dtype=jnp.int32)
-        p = jax.random.randint(k2, (B,), 0, J - 1, dtype=jnp.int32)
+        rng, orders, mk, starts, best_orders, best_mk = carry
+        rng, k1, k2, k3, k4, k5 = jax.random.split(rng, 6)
+        cand = critical_pairs(tables, rtables, orders, mk, starts)
+        idx, has = _sample_true(k1, cand.reshape(B, M * J))
+        msel_c, p_c = idx // J, idx % J
+        msel_r = jax.random.randint(k2, (B,), 0, M, dtype=jnp.int32)
+        p_r = jax.random.randint(k5, (B,), 0, J - 1, dtype=jnp.int32)
+        use_crit = has & (jax.random.uniform(k4, (B,)) >= p_random)
+        msel = jnp.where(use_crit, msel_c, msel_r)
+        p = jnp.where(use_crit, p_c, p_r)
         prop = _swap_adjacent(orders, msel, p)
-        mk_p = evaluate_orders(tables, prop)
+        mk_p, starts_p = _sweep(tables, prop)
         frac = i.astype(jnp.float32) / float(max(iters - 1, 1))
         temp = scale * (t0_frac * (t1_frac / t0_frac) ** frac)
         delta = (mk_p - mk).astype(jnp.float32)
@@ -194,11 +279,12 @@ def anneal(
         )
         orders = jnp.where(accept[:, None, None], prop, orders)
         mk = jnp.where(accept, mk_p, mk)
+        starts = jnp.where(accept[:, None, None], starts_p, starts)
         better = mk_p < best_mk
         best_orders = jnp.where(better[:, None, None], prop, best_orders)
         best_mk = jnp.where(better, mk_p, best_mk)
-        return rng, orders, mk, best_orders, best_mk
+        return rng, orders, mk, starts, best_orders, best_mk
 
-    carry = (rng, orders0, mk0, orders0, mk0)
-    _, _, _, best_orders, best_mk = jax.lax.fori_loop(0, iters, body, carry)
+    carry = (rng, orders0, mk0, starts0, orders0, mk0)
+    _, _, _, _, best_orders, best_mk = jax.lax.fori_loop(0, iters, body, carry)
     return best_orders, best_mk
