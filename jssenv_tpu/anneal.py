@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _I32_MAX = jnp.iinfo(jnp.int32).max
+_RESTART_EVERY = 250  # anneal intensification period (iterations)
 
 
 def schedule_tables(op_machine, op_dur, op_pos) -> Tuple[jax.Array, ...]:
@@ -259,7 +260,7 @@ def anneal(
     rng = jax.random.key(seed)
 
     def body(i, carry):
-        rng, orders, mk, starts, best_orders, best_mk = carry
+        rng, orders, mk, starts, best_orders, best_mk, best_starts = carry
         rng, k1, k2, k3, k4, k5 = jax.random.split(rng, 6)
         cand = critical_pairs(tables, rtables, orders, mk, starts)
         idx, has = _sample_true(k1, cand.reshape(B, M * J))
@@ -283,8 +284,17 @@ def anneal(
         better = mk_p < best_mk
         best_orders = jnp.where(better[:, None, None], prop, best_orders)
         best_mk = jnp.where(better, mk_p, best_mk)
-        return rng, orders, mk, starts, best_orders, best_mk
+        best_starts = jnp.where(better[:, None, None], starts_p, best_starts)
+        # intensification: every _RESTART_EVERY iters, lanes that drifted
+        # >2% above their own best snap back to it
+        drifted = (jnp.mod(i, _RESTART_EVERY) == _RESTART_EVERY - 1) & (
+            mk.astype(jnp.float32) > 1.05 * best_mk.astype(jnp.float32)
+        )
+        orders = jnp.where(drifted[:, None, None], best_orders, orders)
+        mk = jnp.where(drifted, best_mk, mk)
+        starts = jnp.where(drifted[:, None, None], best_starts, starts)
+        return rng, orders, mk, starts, best_orders, best_mk, best_starts
 
-    carry = (rng, orders0, mk0, starts0, orders0, mk0)
-    _, _, _, _, best_orders, best_mk = jax.lax.fori_loop(0, iters, body, carry)
+    carry = (rng, orders0, mk0, starts0, orders0, mk0, starts0)
+    _, _, _, _, best_orders, best_mk, _ = jax.lax.fori_loop(0, iters, body, carry)
     return best_orders, best_mk
