@@ -57,3 +57,51 @@ def test_anneal_improves_rule_schedules_and_certifies():
     # returned artifact is certified: replay reproduces the makespan
     mk, _ = replay.replay_machine_order(spec, refined.machine_order())
     assert mk == refined.makespan
+
+
+def test_noncritical_adjacent_swaps_never_improve():
+    """The theorem behind the move set (anneal.critical_pairs): an adjacent
+    swap on a machine can only reduce the makespan if BOTH ops are critical.
+    Exhaustively enumerate every adjacent swap on small random instances."""
+    import jax
+
+    for seed in range(3):
+        spec = inst.random_instance(5, 4, seed=seed)
+        state = engine.state_from_spec(spec)
+        tables = anneal.schedule_tables(state.op_machine, state.op_dur, state.op_pos)
+        rtables = anneal.reverse_tables(tables)
+        J, M = 5, 4
+        # a feasible seed order: jobs in index order on every machine
+        orders = jnp.broadcast_to(jnp.arange(J, dtype=jnp.int32), (1, M, J))
+        mk, starts = anneal._sweep(tables, orders)
+        assert int(mk[0]) < np.iinfo(np.int32).max
+        cand = np.asarray(anneal.critical_pairs(tables, rtables, orders, mk, starts))[0]
+        # criticality definition check: head + dur + tail == mk elementwise
+        _, starts_rev = anneal._sweep(rtables, jnp.flip(orders, axis=2))
+        tails = np.asarray(jnp.flip(starts_rev, axis=2))[0]
+        dur_rank = np.asarray(
+            jnp.take_along_axis(
+                jnp.broadcast_to(tables[2].T, (1, M, J)), orders, axis=2
+            )
+        )[0]
+        crit = (np.asarray(starts)[0] + dur_rank + tails) == int(mk[0])
+        assert crit.any(), "some op is always critical"
+        # enumerate every adjacent swap; improvements must be critical pairs
+        props, where = [], []
+        for m in range(M):
+            for r in range(J - 1):
+                props.append(
+                    anneal._swap_adjacent(
+                        orders, jnp.asarray([m], jnp.int32), jnp.asarray([r], jnp.int32)
+                    )[0]
+                )
+                where.append((m, r))
+        mks = np.asarray(anneal.evaluate_orders(tables, jnp.stack(props)))
+        for (m, r), mk_p in zip(where, mks):
+            if mk_p < int(mk[0]):
+                assert crit[m, r] and crit[m, r + 1], (
+                    f"non-critical swap ({m},{r}) improved {int(mk[0])}->{mk_p}"
+                )
+        # and the candidate set is exactly the both-critical adjacent pairs
+        expect = crit[:, :-1] & crit[:, 1:]
+        assert (cand[:, :-1] == expect).all() and not cand[:, -1].any()
