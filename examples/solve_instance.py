@@ -21,9 +21,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# published optima for the instances the reference's golden tests cover
-# (reference tests/test_solutions.py assertions; see BASELINE.md)
-KNOWN_OPTIMA = {
+# best-known makespans for the instances the reference's golden tests cover
+# (reference tests/test_solutions.py assertions; see BASELINE.md). ta01/ta51
+# are proven optima; the 30x20 ta41-ta50 values are published upper bounds
+# (several of those instances remain open), so a negative gap is possible.
+BEST_KNOWN = {
     "ta01": 1231, "ta41": 2006, "ta42": 1939, "ta43": 1846, "ta44": 1979,
     "ta45": 2000, "ta46": 2006, "ta47": 1889, "ta48": 1937, "ta49": 1963,
     "ta50": 1923, "ta51": 2760,
@@ -62,9 +64,9 @@ def main() -> int:
     dt = time.time() - t0
 
     line = f"best certified makespan: {res.makespan}  ({res.episodes} episodes searched, {dt:.1f}s)"
-    opt = KNOWN_OPTIMA.get(spec.name)
+    opt = BEST_KNOWN.get(spec.name)
     if opt is not None:
-        line += f"  [optimum {opt}, gap {100.0 * (res.makespan - opt) / opt:.2f}%]"
+        line += f"  [best known {opt}, gap {100.0 * (res.makespan - opt) / opt:.2f}%]"
     print(line)
 
     if args.gantt:

@@ -163,6 +163,28 @@ def reverse_tables(tables):
     )
 
 
+def _tails(rtables, orders) -> jax.Array:
+    """(B, M, J) tail lengths: longest dependency chain after each rank's op.
+
+    The tail of the op at forward rank r = start of the same op in the
+    time-reversed problem, where machine orders flip rank -> J-1-r.
+    """
+    _, starts_rev = _sweep(rtables, jnp.flip(orders, axis=2))
+    return jnp.flip(starts_rev, axis=2)
+
+
+def _critical_pairs_from(tables, orders, mk, starts, tails) -> jax.Array:
+    """``critical_pairs`` with the tails already computed (see ``_tails``)."""
+    _, _, dur_by_machine = tables
+    B, M, J = orders.shape
+    dur_rank = jnp.take_along_axis(
+        jnp.broadcast_to(dur_by_machine.T, (B, M, J)), orders, axis=2
+    )
+    crit = (starts + dur_rank + tails) == mk[:, None, None]
+    pair = crit & jnp.roll(crit, -1, axis=2)
+    return pair.at[:, :, J - 1].set(False)
+
+
 def critical_pairs(tables, rtables, orders, mk, starts) -> jax.Array:
     """(B, M, J) bool: rank r is True iff the ops at ranks (r, r+1) of that
     machine are BOTH on a critical path (the Nowicki-Smutnicki adjacent-swap
@@ -171,18 +193,7 @@ def critical_pairs(tables, rtables, orders, mk, starts) -> jax.Array:
 
     ``mk``/``starts`` must come from ``_sweep(tables, orders)``.
     """
-    _, _, dur_by_machine = tables
-    B, M, J = orders.shape
-    # tail of the op at forward rank r = start of the same op in the
-    # reversed problem, where machine orders flip rank -> J-1-r
-    _, starts_rev = _sweep(rtables, jnp.flip(orders, axis=2))
-    tails = jnp.flip(starts_rev, axis=2)
-    dur_rank = jnp.take_along_axis(
-        jnp.broadcast_to(dur_by_machine.T, (B, M, J)), orders, axis=2
-    )
-    crit = (starts + dur_rank + tails) == mk[:, None, None]
-    pair = crit & jnp.roll(crit, -1, axis=2)
-    return pair.at[:, :, J - 1].set(False)
+    return _critical_pairs_from(tables, orders, mk, starts, _tails(rtables, orders))
 
 
 def _sample_true(key, flat):
@@ -257,12 +268,18 @@ def anneal(
     J = orders0.shape[2]
     M = orders0.shape[1]
     rtables = reverse_tables(tables)
+    # tails are carried through the loop: each iteration sweeps the proposal
+    # once forward and once reversed, and accepted lanes keep both results —
+    # criticality of the *current* state never needs a fresh sweep
+    tails0 = _tails(rtables, orders0)
     rng = jax.random.key(seed)
 
     def body(i, carry):
-        rng, orders, mk, starts, best_orders, best_mk, best_starts = carry
+        rng, cur, best = carry
+        orders, mk, starts, tails = cur
+        best_orders, best_mk, best_starts, best_tails = best
         rng, k1, k2, k3, k4, k5 = jax.random.split(rng, 6)
-        cand = critical_pairs(tables, rtables, orders, mk, starts)
+        cand = _critical_pairs_from(tables, orders, mk, starts, tails)
         idx, has = _sample_true(k1, cand.reshape(B, M * J))
         msel_c, p_c = idx // J, idx % J
         msel_r = jax.random.randint(k2, (B,), 0, M, dtype=jnp.int32)
@@ -272,29 +289,38 @@ def anneal(
         p = jnp.where(use_crit, p_c, p_r)
         prop = _swap_adjacent(orders, msel, p)
         mk_p, starts_p = _sweep(tables, prop)
+        tails_p = _tails(rtables, prop)
         frac = i.astype(jnp.float32) / float(max(iters - 1, 1))
         temp = scale * (t0_frac * (t1_frac / t0_frac) ** frac)
         delta = (mk_p - mk).astype(jnp.float32)
         accept = (mk_p < _I32_MAX) & (
             (delta <= 0) | (jax.random.uniform(k3, (B,)) < jnp.exp(-delta / temp))
         )
-        orders = jnp.where(accept[:, None, None], prop, orders)
+        sel3 = accept[:, None, None]
+        orders = jnp.where(sel3, prop, orders)
         mk = jnp.where(accept, mk_p, mk)
-        starts = jnp.where(accept[:, None, None], starts_p, starts)
+        starts = jnp.where(sel3, starts_p, starts)
+        tails = jnp.where(sel3, tails_p, tails)
         better = mk_p < best_mk
-        best_orders = jnp.where(better[:, None, None], prop, best_orders)
+        b3 = better[:, None, None]
+        best_orders = jnp.where(b3, prop, best_orders)
         best_mk = jnp.where(better, mk_p, best_mk)
-        best_starts = jnp.where(better[:, None, None], starts_p, best_starts)
+        best_starts = jnp.where(b3, starts_p, best_starts)
+        best_tails = jnp.where(b3, tails_p, best_tails)
         # intensification: every _RESTART_EVERY iters, lanes that drifted
-        # >2% above their own best snap back to it
+        # >5% above their own best snap back to it
         drifted = (jnp.mod(i, _RESTART_EVERY) == _RESTART_EVERY - 1) & (
             mk.astype(jnp.float32) > 1.05 * best_mk.astype(jnp.float32)
         )
-        orders = jnp.where(drifted[:, None, None], best_orders, orders)
+        d3 = drifted[:, None, None]
+        orders = jnp.where(d3, best_orders, orders)
         mk = jnp.where(drifted, best_mk, mk)
-        starts = jnp.where(drifted[:, None, None], best_starts, starts)
-        return rng, orders, mk, starts, best_orders, best_mk, best_starts
+        starts = jnp.where(d3, best_starts, starts)
+        tails = jnp.where(d3, best_tails, tails)
+        return rng, (orders, mk, starts, tails), (
+            best_orders, best_mk, best_starts, best_tails)
 
-    carry = (rng, orders0, mk0, starts0, orders0, mk0, starts0)
-    _, _, _, _, best_orders, best_mk, _ = jax.lax.fori_loop(0, iters, body, carry)
+    cur0 = (orders0, mk0, starts0, tails0)
+    carry = (rng, cur0, cur0)
+    _, _, (best_orders, best_mk, _, _) = jax.lax.fori_loop(0, iters, body, carry)
     return best_orders, best_mk

@@ -51,11 +51,12 @@ register_env_class("jss-v1", _load_gym_env)
 register_env_class("jss-vec-v1", _load_vec_env)
 
 
-def create_env(spec, *extra_pos, **extra_kw) -> type:
+def create_env(config, *extra_pos, **extra_kw) -> type:
     """Resolve an env name (or a mapping carrying an ``env`` entry) to its
     class, for Ray/RLlib-style integration (parity with reference
-    utils.py:32-60: returns the class, not an instance)."""
-    wanted = spec.get("env") if isinstance(spec, Mapping) else spec
+    utils.py:32-60: returns the class, not an instance; first parameter is
+    named ``config`` so reference-style keyword callers keep working)."""
+    wanted = config.get("env") if isinstance(config, Mapping) else config
     try:
         loader = _ENV_REGISTRY[wanted]
     except KeyError:
