@@ -29,6 +29,24 @@ def test_checkpoint_roundtrip_env_state(tmp_path):
     assert int(s1.time) == int(s2.time)
 
 
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    ocp = pytest.importorskip("orbax.checkpoint")  # noqa: F841
+    spec = inst.get_instance("ta01")
+    state = engine.state_from_spec(spec)
+    step = jax.jit(engine.step)
+    for a in [0, 3, 7]:
+        state, _ = step(state, a)
+    p = str(tmp_path / "orbax_state")
+    checkpoint.save_orbax(p, state)
+    restored = checkpoint.load_orbax(p, engine.state_from_spec(spec))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    s1, t1 = step(state, 5)
+    s2, t2 = step(restored, 5)
+    assert int(t1.raw_reward) == int(t2.raw_reward)
+    assert int(s1.time) == int(s2.time)
+
+
 def test_checkpoint_structure_mismatch(tmp_path):
     spec = inst.get_instance("ta01")
     state = engine.state_from_spec(spec)

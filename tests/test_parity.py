@@ -75,6 +75,10 @@ def run_parity_episode(name, seed, jobs_pad=0, machines_pad=0, max_steps=100_000
         _, r_ref, done, _, _ = ref.step(a)
         state, tr = step(state, a_new)
         assert round(r_ref * ref.max_time_op) == int(tr.raw_reward), f"{name} step {i}: reward"
+        # scaled reward: the engine divides the same two integers in float32;
+        # correctly-rounded division makes it equal the reference's float64
+        # value rounded to float32 (documented in docs/MIGRATION.md)
+        assert np.float32(r_ref) == np.float32(tr.reward), f"{name} step {i}: scaled reward"
         assert done == bool(tr.done), f"{name} step {i}: done"
         assert_state_parity(ref, state, f"{name} step {i}")
         i += 1
