@@ -72,6 +72,37 @@ def main() -> None:
     figb.savefig(chart, dpi=100)
     print(f"comparison chart saved to {chart}")
 
+    # verbose step-by-step SPT demo (reference
+    # examples/dispatching_rules_example.py:90-124): same trace format, driven
+    # through the reference-compatible attribute surface of the gym wrapper
+    print("\nExample of using a dispatching rule directly:")
+    print("-" * 60)
+    rule = dsp.DISPATCHING_RULES["SPT"]
+    print(f"Rule: {rule.get_name()} - {rule.get_description()}")
+    env.reset()
+    done = False
+    steps = 0
+    total_reward = 0.0
+    while not done and steps < 10:  # only show the first 10 steps
+        action = rule(env)
+        if steps < 5:  # details only for the first 5
+            print(f"Step {steps}: Selected job {action}")
+            legal_actions = env.get_legal_actions()
+            print(f"  Legal actions: {int(np.sum(legal_actions[:-1]))}")
+            for job in range(env.jobs):
+                if legal_actions[job]:
+                    current_op = env.todo_time_step_job[job]
+                    process_time = env.instance_matrix[job][current_op][1]
+                    print(f"  Job {job}: Processing time = {process_time}")
+        _, reward, done, _, _ = env.step(action)
+        total_reward += reward
+        steps += 1
+    print("...")  # more steps would follow
+    print(
+        f"Episode finished with reward {total_reward:.2f} "
+        f"and makespan {env.current_time_step}"
+    )
+
 
 if __name__ == "__main__":
     main()
