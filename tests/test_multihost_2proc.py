@@ -41,26 +41,28 @@ print(f"RESULT {eps} {mk} {t}", flush=True)
 """
 
 
-def _launch(coord, repo, env):
+def _launch(coord, repo, env, n_procs):
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, coord, "2", str(i), repo],
+            [sys.executable, "-c", _WORKER, coord, str(n_procs), str(i), repo],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     results = [p.communicate(timeout=420) for p in procs]
     return procs, results
 
 
-def test_two_process_distributed_rollout(tmp_path):
+def _run_distributed_rollout(n_procs, devices_per_proc):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+    )
     env.pop("JAX_NUM_PROCESSES", None)
     # bind-then-close port picking is racy; retry on a fresh port once rather
     # than flaking if another process grabbed it in the window
@@ -68,14 +70,24 @@ def test_two_process_distributed_rollout(tmp_path):
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
-        procs, results = _launch(f"127.0.0.1:{port}", repo, env)
+        procs, results = _launch(f"127.0.0.1:{port}", repo, env, n_procs)
         if all(p.returncode == 0 for p in procs):
             break
     outs = []
     for p, (out, err) in zip(procs, results):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append([ln for ln in out.splitlines() if ln.startswith("RESULT")][0])
-    # both controllers observe the same fully-reduced global stats
-    assert outs[0] == outs[1]
+    # every controller observes the same fully-reduced global stats
+    assert all(o == outs[0] for o in outs)
     eps = int(outs[0].split()[1])
     assert eps > 0  # 256 steps per ta01 lane always completes episodes
+    return outs[0]
+
+
+def test_two_process_distributed_rollout():
+    _run_distributed_rollout(n_procs=2, devices_per_proc=4)
+
+
+def test_four_process_distributed_rollout():
+    # same global 8-device mesh as the 2-proc test, split 4 ways
+    _run_distributed_rollout(n_procs=4, devices_per_proc=2)

@@ -31,6 +31,29 @@ def test_sharded_rollout_matches_unsharded():
     assert float(a.total_return) == pytest.approx(float(b.total_return), rel=1e-5)
 
 
+def test_sharded_rollout_invariant_across_mesh_sizes():
+    """Identical global stats at every mesh size (1/2/4/8 devices): sharding
+    is pure data placement — jax.random and the step math are placement-
+    independent, so the whole curve must agree bitwise on integer stats."""
+    spec = inst.get_instance("ta01")
+    ref = None
+    for n in (1, 2, 4, 8):
+        state = vector.make_batch(spec, 64)
+        m = meshlib.make_mesh(n)
+        _, stats = meshlib.sharded_rollout(
+            m, jax.random.key(7), state, num_steps=96
+        )
+        got = (
+            int(jax.device_get(stats.episodes)),
+            int(jax.device_get(stats.total_makespan)),
+            int(jax.device_get(stats.min_makespan)),
+        )
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, f"mesh size {n}: {got} != {ref}"
+
+
 def test_shard_batch_placement():
     spec = inst.get_instance("ta01")
     state = vector.make_batch(spec, 32)
