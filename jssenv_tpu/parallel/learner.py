@@ -311,6 +311,76 @@ def _make_ppo_step(config: LearnerConfig):
 
 
 # ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+
+def greedy_policy(params, config: LearnerConfig):
+    """Deterministic policy: argmax over masked logits (no sampling)."""
+
+    def policy(rng, env_state):
+        del rng
+        model = make_model(env_state, config)
+        obs = jax.vmap(lambda s: s.observation()["real_obs"])(env_state)
+        mask = jax.vmap(EnvState.action_mask)(env_state)
+        logits, _ = model.apply(params, obs, mask)
+        a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.where(a == env_state.jobs_pad, env_state.num_jobs, a)
+
+    return policy
+
+
+def evaluate_policy(
+    params,
+    source,
+    config: LearnerConfig,
+    stochastic_lanes: int = 0,
+    seed: int = 0,
+    max_steps: Optional[int] = None,
+) -> dict:
+    """Deterministic eval: greedy-argmax rollout to the first episode end.
+
+    The VERDICT-grade outcome metric: what makespan does the trained policy
+    actually achieve when run greedily on an instance (comparable 1:1 with
+    the dispatching rules' greedy makespans)? With ``stochastic_lanes`` > 0, a
+    batch of additional sampled-policy lanes runs alongside and their best
+    makespan is reported too (a cheap test-time search mode).
+    """
+    B = 1 + int(stochastic_lanes)
+    env_state = vector.make_batch(source, B)
+    env_state = vector.strip_solution(env_state)
+    model = make_model(env_state, config)
+    jp = env_state.jobs_pad
+    greedy = greedy_policy(params, config)
+
+    def policy(rng, s):
+        obs = jax.vmap(lambda st: st.observation()["real_obs"])(s)
+        mask = jax.vmap(EnvState.action_mask)(s)
+        logits, _ = model.apply(params, obs, mask)
+        a_samp, _ = sample_action(rng, logits)
+        a_greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lane = jnp.arange(a_samp.shape[0])
+        a = jnp.where(lane == 0, a_greedy, a_samp)
+        return jnp.where(a == jp, s.num_jobs, a)
+
+    if max_steps is None:
+        jp_, mp_ = env_state.jobs_pad, env_state.machines_pad
+        max_steps = 4 * jp_ * mp_ + 64
+    _, ms, _ = vector.episode_makespans(
+        jax.random.key(seed),
+        env_state,
+        max_steps=max_steps,
+        policy=policy if stochastic_lanes else greedy,
+    )
+    ms = jax.device_get(ms)
+    out = {"greedy_makespan": int(ms[0])}
+    if stochastic_lanes:
+        out["best_sampled_makespan"] = int(ms.min())
+        out["avg_sampled_makespan"] = float(ms[1:].mean())
+    return out
+
+
+# ---------------------------------------------------------------------------
 # sharding layout
 # ---------------------------------------------------------------------------
 

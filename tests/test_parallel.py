@@ -64,6 +64,22 @@ def test_shard_batch_placement():
         meshlib.shard_batch(vector.make_batch(spec, 30), m)  # 30 % 8 != 0
 
 
+def test_evaluate_policy_greedy_and_sampled():
+    """Deterministic greedy eval: repeatable makespan; sampled lanes report
+    a best <= their average."""
+    spec = inst.get_instance("ta01")
+    cfg = learner.LearnerConfig(unroll_steps=4, hidden=(32, 32))
+    ts = learner.init_train_state(
+        jax.random.key(0), vector.make_batch(spec, 4), cfg
+    )
+    r1 = learner.evaluate_policy(ts.params, spec, cfg)
+    r2 = learner.evaluate_policy(ts.params, spec, cfg)
+    assert r1["greedy_makespan"] == r2["greedy_makespan"] > 0
+    r3 = learner.evaluate_policy(ts.params, spec, cfg, stochastic_lanes=7)
+    assert r3["greedy_makespan"] == r1["greedy_makespan"]
+    assert 0 < r3["best_sampled_makespan"] <= r3["avg_sampled_makespan"]
+
+
 def test_learner_step_runs_and_updates():
     spec = inst.get_instance("ta01")
     config = learner.LearnerConfig(unroll_steps=4, hidden=(64, 64))

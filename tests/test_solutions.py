@@ -25,10 +25,17 @@ with open(_DATA) as f:
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_golden_optimum(name):
+    """Replay each golden machine-order schedule and assert the engine
+    reproduces its stored makespan exactly. Entries are either published
+    optima (``optimum``, the reference's 12) or solver-derived near-optimal
+    schedules certified through the engine AND the live reference simulator
+    at generation time (``makespan``, tools/gen_golden.py)."""
     entry = GOLDEN[name]
     spec = inst.get_instance(name)
     makespan, state = replay.replay_machine_order(spec, entry["machine_order"])
-    assert makespan == entry["optimum"]
+    assert makespan == entry.get("optimum", entry.get("makespan"))
+    if "best_known" in entry:  # solver schedules must stay near the optimum
+        assert makespan <= 1.12 * entry["best_known"]
     # terminal invariants (reference tests/test_state.py:71-76)
     assert not bool(state.any_busy)
     assert bool(state.done)
@@ -42,13 +49,19 @@ def test_golden_optimum(name):
 
 
 def test_golden_table_complete():
-    """All 12 reference golden instances are present with their optima."""
+    """All 12 reference golden instances are present with their optima, and
+    the extended solver-derived table reaches SURVEY §4's "extended table"
+    size (>= 25 entries, one per ta family)."""
     expected = {
         "ta01": 1231, "ta41": 2006, "ta42": 1939, "ta43": 1846,
         "ta44": 1979, "ta45": 2000, "ta46": 2006, "ta47": 1889,
         "ta48": 1937, "ta49": 1963, "ta50": 1923, "ta51": 2760,
     }
-    assert {k: v["optimum"] for k, v in GOLDEN.items()} == expected
+    published = {
+        k: v["optimum"] for k, v in GOLDEN.items() if "optimum" in v
+    }
+    assert published == expected
+    assert len(GOLDEN) >= 25
 
 
 def test_infeasible_order_raises():

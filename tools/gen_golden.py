@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Extend tests/data/golden_solutions.json with solver-derived schedules.
+
+The reference embeds 12 published-optimal machine-order schedules
+(reference tests/test_solutions.py); SURVEY.md §4 asks for "the remaining ta
+optima as an extended table". Published machine *orders* are not redistributed
+for the other instances, so this tool derives high-quality orders with the
+on-device solver (solve + critical-path annealing), certifies each through the
+exact engine replay, cross-checks the makespan against the live reference
+simulator when /root/reference is mounted, and stores them as
+``{"makespan": N, "source": "solve+anneal", "best_known": opt?}`` entries.
+The replay tests then assert the engine reproduces each stored makespan
+exactly — pinning the near-optimal-schedule corner of the timing semantics the
+same way the published replays do.
+
+Usage: python tools/gen_golden.py [names...] [--batch 2048] [--sweeps 6]
+           [--refine 4000] [--seed 0]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# published optima / best-known makespans (Taillard benchmark literature);
+# informational only — the tests assert the certified replay makespan
+BEST_KNOWN = {
+    "ta02": 1244, "ta03": 1218, "ta04": 1175, "ta05": 1224, "ta06": 1238,
+    "ta07": 1227, "ta08": 1217, "ta09": 1274, "ta10": 1241,
+    "ta11": 1357, "ta21": 1642, "ta31": 1764, "ta61": 2868, "ta71": 5464,
+}
+
+DEFAULT_NAMES = [
+    "ta02", "ta03", "ta04", "ta05", "ta06", "ta07", "ta08", "ta09", "ta10",
+    "ta11", "ta21", "ta31", "ta61", "ta71", "dmu16",
+]
+
+DATA = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "data", "golden_solutions.json"
+)
+
+
+def reference_makespan(name: str, order) -> int:
+    """Replay ``order`` through the live reference simulator (the driver
+    pattern of reference tests/test_solutions.py:41-73); -1 if unavailable."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from _reference_oracle import load_reference_env_class, reference_instance_path
+
+    cls = load_reference_env_class()
+    if cls is None:
+        return -1
+    env = cls({"instance_path": reference_instance_path(name)})
+    env.reset()
+    idx = [0] * env.machines
+    while not env._is_done():
+        acted = False
+        for m in range(env.machines):
+            if idx[m] >= len(order[m]):
+                continue
+            job = order[m][idx[m]]
+            if env.needed_machine_jobs[job] == m and env.legal_actions[job]:
+                env.step(job)
+                idx[m] += 1
+                acted = True
+        if not acted and not env._is_done():
+            env.increase_time_step()
+    return int(env.current_time_step)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("names", nargs="*", default=None)
+    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--sweeps", type=int, default=6)
+    p.add_argument("--refine", type=int, default=4000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    names = args.names or DEFAULT_NAMES
+
+    from jssenv_tpu import instances as inst, replay, solve
+
+    with open(DATA) as f:
+        golden = json.load(f)
+
+    for name in names:
+        if name in golden:
+            print(f"{name}: already present, skipping")
+            continue
+        spec = inst.get_instance(name)
+        res = solve.solve(
+            spec,
+            batch=args.batch,
+            sweeps=args.sweeps,
+            seed=args.seed,
+            refine_iters=args.refine,
+        )
+        order = res.machine_order()
+        mk, _ = replay.replay_machine_order(spec, order)
+        assert mk == res.makespan, (name, mk, res.makespan)
+        ref_mk = reference_makespan(name, order)
+        if ref_mk >= 0:
+            assert ref_mk == mk, f"{name}: reference replay {ref_mk} != {mk}"
+        entry = {
+            "makespan": mk,
+            "source": "solve+anneal",
+            "machine_order": order,
+        }
+        if name in BEST_KNOWN:
+            entry["best_known"] = BEST_KNOWN[name]
+            gap = 100.0 * (mk - BEST_KNOWN[name]) / BEST_KNOWN[name]
+            extra = f" (best known {BEST_KNOWN[name]}, gap {gap:+.2f}%)"
+        else:
+            extra = ""
+        ref_note = " ref-checked" if ref_mk >= 0 else ""
+        print(f"{name}: certified makespan {mk}{extra}{ref_note}")
+        golden[name] = entry
+        with open(DATA, "w") as f:
+            json.dump(golden, f, indent=1, sort_keys=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
