@@ -52,7 +52,9 @@ def main() -> None:
     # 16384 measured best on one v5e chip (docs/BENCHMARKS.md): launch
     # overheads amortize up to ~16k lanes, VMEM/HBM stay comfortable
     p.add_argument("--batch", type=int, default=int(os.environ.get("JSS_BENCH_BATCH", 16384)))
-    p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 512)))
+    # 2048 steps keeps the timed section well above the remote-relay
+    # per-call latency (~0.1s) even at 60M+ steps/s on the pallas path
+    p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 2048)))
     p.add_argument("--warmup-steps", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--no-extra", action="store_true",
@@ -83,7 +85,14 @@ def main() -> None:
     log(f"backend={backend} devices={jax.devices()}")
 
     def run_config(instance_spec, batch, steps):
-        """Measure one (instance set, batch) config; returns a record dict."""
+        """Measure one (instance set, batch) config; returns a record dict.
+
+        Single-instance configs on TPU run the fused Pallas rollout kernel
+        (the whole auto-resetting rollout in one launch, VMEM-resident
+        state; jssenv_tpu.core.pallas_rollout) — every completed episode is
+        identity-checked on device, and the run aborts if any violation is
+        reported. Ragged instance sets and CPU runs take the XLA scan path.
+        """
         log(f"instance={instance_spec} batch={batch} steps={steps}")
         names = parse_instances(instance_spec)
         if len(names) == 1:
@@ -92,37 +101,66 @@ def main() -> None:
             source = inst.get_instance_set(names)
         state = vector.make_batch(source, batch)
 
-        # compile + warmup. NOTE: timing must end with a device_get of the
-        # (tiny) stats, not block_until_ready — on the remote-relay TPU
-        # backend the first block_until_ready after a fresh executable can
-        # return without actually forcing the computation, which silently
-        # inflates throughput numbers.
+        engine_name = "xla"
+        if backend != "cpu" and len(names) == 1:
+            try:
+                from jssenv_tpu.core import pallas_rollout
+
+                pallas_rollout._check_uniform(state)
+                engine_name = "pallas"
+            except (ImportError, ValueError) as e:
+                log(f"pallas path unavailable ({e}); using XLA scan")
+
+        def run(seed, n_steps):
+            """-> (episodes, total_makespan, min_makespan, violations)."""
+            if engine_name == "pallas":
+                st = pallas_rollout.rollout_free(state, n_steps, seed=seed)
+                st = {k: jax.device_get(v) for k, v in st.items()}
+                return (
+                    int(st["episodes"]),
+                    int(st["total_makespan"]),
+                    int(st["min_makespan"]),
+                    int(st["identity_violations"]),
+                )
+            # NOTE: timing must end with a device_get of the (tiny) stats,
+            # not block_until_ready — on the remote-relay TPU backend the
+            # first block_until_ready after a fresh executable can return
+            # without actually forcing the computation, which silently
+            # inflates throughput numbers.
+            _, st = vector.rollout(
+                jax.random.key(seed), state, num_steps=n_steps
+            )
+            st = jax.device_get(st)
+            return (
+                int(st.episodes),
+                int(st.total_makespan),
+                int(st.min_makespan),
+                0,
+            )
+
         t0 = time.time()
-        _, wstats = vector.rollout(
-            jax.random.key(0), state, num_steps=args.warmup_steps
-        )
-        jax.device_get(wstats)
+        run(0, args.warmup_steps)
         warmup_s = time.time() - t0
-        log(f"compile+warmup: {warmup_s:.1f}s")
+        log(f"compile+warmup ({engine_name}): {warmup_s:.1f}s")
 
         best = 0.0
         for r in range(args.repeats):
             try:
                 t0 = time.time()
-                _, stats = vector.rollout(
-                    jax.random.key(r + 1), state, num_steps=steps
-                )
-                stats = jax.device_get(stats)
+                eps, mk_sum, mk_min, viol = run(r + 1, steps)
                 dt = time.time() - t0
             except jax.errors.JaxRuntimeError as e:  # flaky device/tunnel
                 log(f"repeat {r}: device error ({e}); continuing")
                 continue
+            if viol:
+                raise RuntimeError(
+                    f"on-device reward-identity violations: {viol}"
+                )
             sps = batch * steps / dt
-            eps = int(stats.episodes)
-            avg_ms = float(stats.total_makespan) / eps if eps else float("nan")
+            avg_ms = mk_sum / eps if eps else float("nan")
             log(
                 f"repeat {r}: {sps:,.0f} env-steps/s ({dt:.2f}s, {eps} episodes, "
-                f"avg makespan {avg_ms:.0f}, min {int(stats.min_makespan)})"
+                f"avg makespan {avg_ms:.0f}, min {mk_min})"
             )
             best = max(best, sps)
 
@@ -135,6 +173,7 @@ def main() -> None:
             "unit": "env-steps/s",
             "vs_baseline": round(best / ref, 2),
             "backend": backend,
+            "engine": engine_name,
             "batch": batch,
             "steps": steps,
             "warmup_s": round(warmup_s, 1),

@@ -3,7 +3,7 @@
 The XLA rollout (``vector.rollout``) is a ``lax.scan`` whose step body compiles
 to dozens of small kernels; every scan iteration round-trips the full batched
 state through HBM between those kernels. The per-env state is tiny (a few
-hundred int32s), so the whole working set of a batch tile fits comfortably in
+hundred ints), so the whole working set of a batch tile fits comfortably in
 VMEM — which means the *speed-of-light* formulation is a single Pallas kernel
 per batch tile that keeps the state resident on-chip for all ``T`` steps and
 touches HBM exactly twice: initial state load and final stats/state store.
@@ -13,6 +13,14 @@ TILE)``, per-lane scalars ``(1, TILE)`` — the batch rides the 128-wide lane
 dimension at full density, and the tiny J/M axes ride sublanes. (The XLA
 engine's batch-first ``(B, J)`` layout would waste 128/J of every vector
 register here.)
+
+Value dtype: int32 by default. A full 16-bit mode exists (halves the vreg
+count when every intermediate fits int16; see ``value_dtype``) but is gated
+behind ``JSS_PALLAS_INT16=1`` — Mosaic's infer-vector-layout pass currently
+CHECK-crashes compiling the 16-bit kernel for v5e (compiler bug, not an
+unsupported op). The kernel is nonetheless written layout-safe for both
+dtypes: sublane reductions widen to int32, masks never cross shapes as i1,
+ints are reshaped and broadcast instead of masks.
 
 Semantics are the exact reference semantics, shared with ``core.engine`` —
 allocation/no-op branches, sticky pins, fast-forward ``while``, both mask
@@ -53,53 +61,77 @@ from jssenv_tpu.core.state import EnvState
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
-# dynamic per-lane state fields: (name, kernel layout kind, LOGICAL dtype);
-#   l = (1, TILE) lane scalar, J/M = (J|M, TILE), JM/MJ = 3-D.
-# Mask fields are declared with their logical dtype (jnp.bool_); the int32
-# VMEM storage dtype and the load/store conversion set are DERIVED from it
-# below (single-sourced). Storage is int32 because Mosaic cannot truncate an
-# i8 memory load to an i1 vector on this target; the kernel converts to i1
-# with `!= 0` at load and widens back at store. In-register they are
-# ordinary bool vectors.
+# dynamic per-lane state fields: (name, kernel layout kind, dtype tag);
+#   kinds: l = (1, TILE) lane scalar, J/M = (J|M, TILE), JM = 3-D.
+#   tags:  v = value dtype (int16 when the instance fits, else int32),
+#          b = mask (carried as the value dtype in-register and in VMEM —
+#              Mosaic cannot truncate narrow memory loads to i1 vectors, so
+#              masks load with `!= 0` and store widened).
 _FIELDS = (
-    ("time", "l", jnp.int32),
-    ("legal", "J", jnp.bool_),
-    ("noop_legal", "l", jnp.bool_),
-    ("nb_legal", "l", jnp.int32),
-    ("nb_machine_legal", "l", jnp.int32),
-    ("machine_legal", "M", jnp.bool_),
-    ("solution", "JM", jnp.int32),
-    ("machine_busy_for", "M", jnp.int32),
-    ("job_busy_for", "J", jnp.int32),
-    ("next_op", "J", jnp.int32),
-    ("work_done", "J", jnp.int32),
-    ("needed_machine", "J", jnp.int32),
-    ("op_end_at", "J", jnp.int32),
-    ("idle_frozen", "J", jnp.int32),
-    ("idle_total_alloc", "J", jnp.int32),
-    ("noop_pin", "J", jnp.bool_),
-    ("wait4", "J", jnp.int32),
+    ("time", "l", "v"),
+    ("legal", "J", "b"),
+    ("noop_legal", "l", "b"),
+    ("nb_legal", "l", "v"),
+    ("nb_machine_legal", "l", "v"),
+    ("machine_legal", "M", "b"),
+    ("solution", "JM", "v"),
+    ("machine_busy_for", "M", "v"),
+    ("job_busy_for", "J", "v"),
+    ("next_op", "J", "v"),
+    ("work_done", "J", "v"),
+    ("needed_machine", "J", "v"),
+    ("op_end_at", "J", "v"),
+    ("idle_frozen", "J", "v"),
+    ("idle_total_alloc", "J", "v"),
+    ("noop_pin", "J", "b"),
+    ("wait4", "J", "v"),
 )
-_BOOL_FIELDS = frozenset(n for n, _, dt in _FIELDS if dt == jnp.bool_)
+_BOOL_FIELDS = frozenset(n for n, _, tag in _FIELDS if tag == "b")
 
 
-def _storage_dtype(dt):
-    """VMEM storage dtype for a logical field dtype (bools ride as int32)."""
-    return jnp.int32 if dt == jnp.bool_ else dt
+def value_dtype(state: EnvState):
+    """Kernel value dtype: int32, with an opt-in int16 mode.
+
+    The kernel is written to run entirely on 16-bit vregs when every
+    intermediate fits int16 (``sum_op + 2*max_time_jobs + max_time_op <
+    32000`` — true for the 15x15 benchmark family), which would halve the
+    vector-op count: reductions widen to int32 (`_min0`/`_sum0` — Mosaic has
+    no int16 reductions), masks never cross shapes as i1 (`_bx`), ints are
+    reshaped instead of masks. As of jax 0.9.0 the remaining blocker is a
+    hard CHECK-failure crash inside Mosaic's infer-vector-layout pass
+    (layout.h:320 ``arr.size() >= layout_rank``) when compiling the 16-bit
+    kernel for v5e — not an unsupported-op error, a compiler bug — so int16
+    stays behind ``JSS_PALLAS_INT16=1`` until a toolchain fix lands. The
+    interpret-mode differential tests cover both dtypes.
+    """
+    import os
+
+    if os.environ.get("JSS_PALLAS_INT16") != "1":
+        return jnp.int32
+    bound = (
+        int(np.asarray(state.sum_op).ravel()[0])
+        + 2 * int(np.asarray(state.max_time_jobs).ravel()[0])
+        + int(np.asarray(state.max_time_op).ravel()[0])
+    )
+    return jnp.int16 if bound < 32000 else jnp.int32
 
 
-def _load_state(names, state_in):
+def _maxv(dt) -> int:
+    return 32767 if dt == jnp.int16 else int(_I32_MAX)
+
+
+def _load_state(names, state_in, vdt):
     return {
         n: (r[:] != 0) if n in _BOOL_FIELDS else r[:]
         for n, r in zip(names, state_in)
     }
 
 
-def _widen_masks(s):
-    """int32-carry form for loop boundaries: Mosaic cannot carry i1 vregs
-    through scf.for/scf.while (tpu.roll_vectors on i1 is unsupported)."""
+def _widen_masks(s, vdt):
+    """Value-dtype-carry form for loop boundaries: Mosaic cannot carry i1
+    vregs through scf.for/scf.while (tpu.roll_vectors on i1 is unsupported)."""
     return {
-        k: v.astype(jnp.int32) if k in _BOOL_FIELDS else v for k, v in s.items()
+        k: v.astype(vdt) if k in _BOOL_FIELDS else v for k, v in s.items()
     }
 
 
@@ -108,13 +140,14 @@ def _narrow_masks(s):
         k: (v != 0) if (k in _BOOL_FIELDS and v.dtype != jnp.bool_) else v
         for k, v in s.items()
     }
+
+
 def _field_shape(kind: str, J: int, M: int, tile: int) -> tuple:
     return {
         "l": (1, tile),
         "J": (J, tile),
         "M": (M, tile),
         "JM": (J, M, tile),
-        "MJ": (M, J, tile),
     }[kind]
 
 
@@ -130,6 +163,13 @@ def _sel(c, a, b):
     if jnp.result_type(a) == jnp.bool_ and jnp.result_type(b) == jnp.bool_:
         return (c & a) | (~c & b)
     return jnp.where(c, a, b)
+
+
+def _bx(cond, shape, vdt):
+    """Broadcast a (1, TILE) mask to ``shape`` without an i1 broadcast
+    (unsupported relayout in Mosaic): widen to int 0/1, broadcast the int,
+    compare at the destination shape."""
+    return jnp.broadcast_to(cond.astype(vdt), shape) != 0
 
 
 def _gather_tab(tab, idx, M):
@@ -148,34 +188,47 @@ def _lookup_rows(vec, idx, n):
     return acc
 
 
-def _pick_row(vec, idx):
+# Mosaic has no int16 reductions ("Reductions over int16 not implemented"):
+# every sublane reduction widens to int32, reduces, and narrows back. The
+# elementwise bulk of the kernel (compares, selects, adds) stays 16-bit.
+
+
+def _min0(x):
+    return jnp.min(x.astype(jnp.int32), axis=0, keepdims=True).astype(x.dtype)
+
+
+def _max0(x):
+    return jnp.max(x.astype(jnp.int32), axis=0, keepdims=True).astype(x.dtype)
+
+
+def _sum0(x, out_dt):
+    """Reduce (X, TILE) ints/bools over axis 0 -> (1, TILE) out_dt."""
+    return jnp.sum(x.astype(jnp.int32), axis=0, keepdims=True).astype(out_dt)
+
+
+def _pick_row(vec, idx, iota):
     """vec (J, TILE); idx (1, TILE) -> (1, TILE) vec[idx[b], b] per lane."""
-    return jnp.sum(
-        jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, vec.shape, 0) == idx,
-            vec,
-            jnp.zeros_like(vec),
-        ),
-        axis=0,
-        keepdims=True,
-    )
+    return _sum0(jnp.where(iota == idx, vec, jnp.zeros_like(vec)), vec.dtype)
 
 
 def _seg_min(seg, vals, mask, M):
     """(J,TILE) seg/vals/mask -> (M,TILE): min over j with seg==m & mask."""
+    top = jnp.asarray(_maxv(vals.dtype), vals.dtype)
     rows = [
-        jnp.min(jnp.where(mask & (seg == m), vals, _I32_MAX), axis=0, keepdims=True)
-        for m in range(M)
+        _min0(jnp.where(mask & (seg == m), vals, top)) for m in range(M)
     ]
     return jnp.concatenate(rows, axis=0)
 
 
-def _seg_any(seg, mask, M):
-    # concatenate in int32: Mosaic cannot concatenate/bitcast i1 vregs
-    rows = [
-        jnp.any(mask & (seg == m), axis=0, keepdims=True).astype(jnp.int32)
-        for m in range(M)
-    ]
+def _any0(x, vdt):
+    """any() over axis 0 for a 16/32-bit-layout mask, via an int32 sum —
+    Mosaic implements neither int16 nor narrow-mask reductions."""
+    return _sum0(x, vdt) != 0
+
+
+def _seg_any(seg, mask, M, vdt):
+    # concatenate in the value dtype: Mosaic cannot concatenate i1 vregs
+    rows = [_sum0(mask & (seg == m), vdt) for m in range(M)]
     return jnp.concatenate(rows, axis=0) != 0
 
 
@@ -184,24 +237,25 @@ def _seg_any(seg, mask, M):
 # ---------------------------------------------------------------------------
 
 
-def _make_step(J, M, MAX_OP, tab):
-    """Returns step(s: dict, action (1,TILE)) -> (s', raw_reward (1,TILE))."""
+def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
+    """Returns step(s: dict, action (1,TILE) vdt) -> (s', raw_reward (1,TILE))."""
     op_machine, op_dur, op_pos, cum_before = tab
-    jio = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
-    mio = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    jio = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0).astype(vdt)
+    mio = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).astype(vdt)
+    VMAX = jnp.asarray(_maxv(vdt), vdt)
 
     def fast_forward(s):
         """Closed-form fast-forward (engine.fast_forward twin, batch-last):
         the whole ``while nb_machine_legal == 0 and queue`` event loop as one
-        straight-line update — see engine.fast_forward for the derivation."""
+        straight-line update — see engine.fast_forward for the derivation.
+        Inactive lanes may wrap in the narrow dtype; every result is masked
+        by ``active`` before it lands."""
         tua0 = s["machine_busy_for"]
         busy0 = tua0 > 0
-        any_busy = jnp.any(busy0, axis=0, keepdims=True)
+        any_busy = _any0(busy0, vdt)
         active = (s["nb_machine_legal"] == 0) & any_busy
-        first_ev = s["time"] + jnp.min(
-            jnp.where(busy0, tua0, _I32_MAX), axis=0, keepdims=True
-        )
-        last_ev = s["time"] + jnp.max(tua0, axis=0, keepdims=True)
+        first_ev = s["time"] + _min0(jnp.where(busy0, tua0, VMAX))
+        last_ev = s["time"] + _max0(tua0)
 
         running = s["job_busy_for"] > 0
         c = s["time"] + s["job_busy_for"]  # (J, TILE)
@@ -220,10 +274,8 @@ def _make_step(J, M, MAX_OP, tab):
             & ~s["noop_pin"]
         )
         e_wait = jnp.maximum(first_ev, s["time"] + _lookup_rows(tua0, mj, M))
-        e_j = jnp.where(run_ok, e_run, jnp.where(waiting, e_wait, _I32_MAX))
-        T_stop = jnp.minimum(
-            jnp.min(e_j, axis=0, keepdims=True), last_ev
-        )  # (1, TILE)
+        e_j = jnp.where(run_ok, e_run, jnp.where(waiting, e_wait, VMAX))
+        T_stop = jnp.minimum(_min0(e_j), last_ev)  # (1, TILE)
         span = T_stop - s["time"]
 
         performed = jnp.where(running, jnp.minimum(span, s["job_busy_for"]), 0)
@@ -233,7 +285,7 @@ def _make_step(J, M, MAX_OP, tab):
         work_done = s["work_done"] + performed
         completed = running & (c <= T_stop)
         op_end_at = jnp.where(completed, c, s["op_end_at"])
-        next_op = s["next_op"] + completed.astype(jnp.int32)
+        next_op = s["next_op"] + completed.astype(vdt)
         finished_now = completed & (next_op == M)
         continues = completed & (next_op < M)
         needed = jnp.where(
@@ -242,42 +294,40 @@ def _make_step(J, M, MAX_OP, tab):
         wait4 = jnp.where(continues, jnp.maximum(0, f_next - c), s["wait4"])
         drop = finished_now & s["legal"]
         legal = s["legal"] & ~drop
-        nb_legal = s["nb_legal"] - jnp.sum(
-            drop, axis=0, keepdims=True, dtype=jnp.int32
-        )
-        holes = jnp.sum(
-            span - jnp.minimum(tua0, span), axis=0, keepdims=True, dtype=jnp.int32
-        )
+        nb_legal = s["nb_legal"] - _sum0(drop, vdt)
+        holes = _sum0(span - jnp.minimum(tua0, span), vdt)
         machine_busy_for = jnp.maximum(0, tua0 - span)
 
         cand = e_j == T_stop
         legal = legal | cand
-        nb_legal = nb_legal + jnp.sum(cand, axis=0, keepdims=True, dtype=jnp.int32)
+        nb_legal = nb_legal + _sum0(cand, vdt)
         m_of_cand = jnp.where(run_ok, m_next, mj)
-        ml_add = _seg_any(m_of_cand, cand, M)
-        nb_machine_legal = s["nb_machine_legal"] + jnp.sum(
-            ml_add & ~s["machine_legal"], axis=0, keepdims=True, dtype=jnp.int32
+        ml_add = _seg_any(m_of_cand, cand, M, vdt)
+        nb_machine_legal = s["nb_machine_legal"] + _sum0(
+            ml_add & ~s["machine_legal"], vdt
         )
         machine_legal = s["machine_legal"] | ml_add
 
+        aJ = _bx(active, legal.shape, vdt)
+        aM = _bx(active, machine_busy_for.shape, vdt)
         out = dict(s)
         out.update(
             time=jnp.where(active, T_stop, s["time"]),
-            legal=_sel(active, legal, s["legal"]),
+            legal=_sel(aJ, legal, s["legal"]),
             nb_legal=jnp.where(active, nb_legal, s["nb_legal"]),
             nb_machine_legal=jnp.where(
                 active, nb_machine_legal, s["nb_machine_legal"]
             ),
-            machine_legal=_sel(active, machine_legal, s["machine_legal"]),
+            machine_legal=_sel(aM, machine_legal, s["machine_legal"]),
             machine_busy_for=jnp.where(
-                active, machine_busy_for, s["machine_busy_for"]
+                aM, machine_busy_for, s["machine_busy_for"]
             ),
-            job_busy_for=jnp.where(active, job_busy_for, s["job_busy_for"]),
-            next_op=jnp.where(active, next_op, s["next_op"]),
-            work_done=jnp.where(active, work_done, s["work_done"]),
-            needed_machine=jnp.where(active, needed, s["needed_machine"]),
-            op_end_at=jnp.where(active, op_end_at, s["op_end_at"]),
-            wait4=jnp.where(active, wait4, s["wait4"]),
+            job_busy_for=jnp.where(aJ, job_busy_for, s["job_busy_for"]),
+            next_op=jnp.where(aJ, next_op, s["next_op"]),
+            work_done=jnp.where(aJ, work_done, s["work_done"]),
+            needed_machine=jnp.where(aJ, needed, s["needed_machine"]),
+            op_end_at=jnp.where(aJ, op_end_at, s["op_end_at"]),
+            wait4=jnp.where(aJ, wait4, s["wait4"]),
         )
         return out, jnp.where(active, holes, 0)
 
@@ -295,34 +345,27 @@ def _make_step(J, M, MAX_OP, tab):
         kill = cand & gate & is_final & (dur_cur > _lookup_rows(min_nf, m_of, M))
         s = dict(s)
         s["legal"] = s["legal"] & ~kill
-        s["nb_legal"] = s["nb_legal"] - jnp.sum(
-            kill, axis=0, keepdims=True, dtype=jnp.int32
-        )
-        return s
+        s["nb_legal"] = s["nb_legal"] - _sum0(kill, vdt)
+        return s, dur_cur
 
-    def check_no_op(s):
+    def check_no_op(s, dur_cur):
         busy = s["machine_busy_for"] > 0
-        any_busy = jnp.any(busy, axis=0, keepdims=True)
+        any_busy = _any0(busy, vdt)
         gate = any_busy & (s["nb_machine_legal"] <= 3) & (s["nb_legal"] <= 4)
-        next_ev = s["time"] + jnp.min(
-            jnp.where(busy, s["machine_busy_for"], _I32_MAX), axis=0, keepdims=True
-        )
+        next_ev = s["time"] + _min0(jnp.where(busy, s["machine_busy_for"], VMAX))
         lj = s["legal"]
         m1 = jnp.clip(s["needed_machine"], 0, M - 1)
-        t1 = _gather_tab(op_dur, jnp.clip(s["next_op"], 0, M - 1), M)
-        end = s["time"] + t1
-        early_out = jnp.any(lj & (end < next_ev), axis=0, keepdims=True)
+        # dur_cur from prioritization: the legal jobs it reads it for did not
+        # change next_op since (prioritization only masks)
+        end = s["time"] + dur_cur
+        early_out = _any0(lj & (end < next_ev), vdt)
         cap = s["time"] + MAX_OP
-        j_of = jnp.broadcast_to(
-            jax.lax.broadcasted_iota(jnp.int32, lj.shape, 0), lj.shape
-        )
+        j_of = jnp.broadcast_to(jio, lj.shape)
         first_j = _seg_min(m1, j_of, lj, M)  # (M, TILE)
-        has = first_j != _I32_MAX
+        has = first_j != _maxv(vdt)
         end_first = _lookup_rows(end, jnp.clip(first_j, 0, J - 1), J)
-        contrib = jnp.where(has, jnp.minimum(cap, end_first), -_I32_MAX)
-        max_horizon = jnp.maximum(
-            s["time"], jnp.max(contrib, axis=0, keepdims=True)
-        )
+        contrib = jnp.where(has, jnp.minimum(cap, end_first), -VMAX)
+        max_horizon = jnp.maximum(s["time"], _max0(contrib))
         mh = jnp.minimum(cap, _seg_min(m1, end, lj, M))  # (M, TILE)
 
         illegal = ~s["legal"]
@@ -340,7 +383,7 @@ def _make_step(J, M, MAX_OP, tab):
             tn = base + cum_before[:, m : m + 1]  # (J, TILE)
             pos_m = op_pos[:, m : m + 1]
             ok = active & (pos_m >= start) & (pos_m < (M - 1)) & (max_horizon > tn)
-            tn_min = jnp.min(jnp.where(ok, tn, _I32_MAX), axis=0, keepdims=True)
+            tn_min = _min0(jnp.where(ok, tn, VMAX))
             covered = ~s["machine_legal"][m : m + 1, :] | (tn_min < mh[m : m + 1, :])
             all_covered = all_covered & covered
         noop = gate & ~early_out & (s["nb_machine_legal"] > 0) & all_covered
@@ -349,47 +392,54 @@ def _make_step(J, M, MAX_OP, tab):
         return s
 
     def step(s, action):
+        action = action.astype(vdt)
         is_noop = action >= J
         is_alloc = ~is_noop
         a = jnp.where(is_alloc, jnp.clip(action, 0, J - 1), 0)  # (1, TILE)
         row_sel = jio == a  # (J, TILE) one-hot regardless of branch
         dur_cur_all = _gather_tab(op_dur, jnp.clip(s["next_op"], 0, M - 1), M)
-        op_a = _pick_row(s["next_op"], a)
+        op_a = _pick_row(s["next_op"], a, jio)
         op_c = jnp.clip(op_a, 0, M - 1)
-        nm_a = _pick_row(s["needed_machine"], a)  # unclipped, for kill compare
+        nm_a = _pick_row(s["needed_machine"], a, jio)  # unclipped, for kill compare
         m_a = jnp.clip(nm_a, 0, M - 1)
-        dur = _pick_row(dur_cur_all, a)
+        dur = _pick_row(dur_cur_all, a, jio)
         raw = jnp.where(is_alloc, dur, 0)
 
-        row_a = row_sel & is_alloc  # (J, TILE)
-        row_m = (mio == m_a) & is_alloc  # (M, TILE)
-        kill_alloc = is_alloc & s["legal"] & (s["needed_machine"] == nm_a)
+        allocJ = _bx(is_alloc, row_sel.shape, vdt)
+        allocM = _bx(is_alloc, (mio.shape[0], row_sel.shape[1]), vdt)
+        noopJ = ~allocJ
+        row_a = row_sel & allocJ  # (J, TILE)
+        row_m = (mio == m_a) & allocM  # (M, TILE)
+        kill_alloc = allocJ & s["legal"] & (s["needed_machine"] == nm_a)
         machine_busy_for = jnp.where(row_m, dur, s["machine_busy_for"])
         job_busy_for = jnp.where(row_a, dur, s["job_busy_for"])
         idle_span = s["time"] - s["op_end_at"]
         idle_frozen = jnp.where(row_a, idle_span, s["idle_frozen"])
         idle_total_alloc = s["idle_total_alloc"] + jnp.where(row_a, idle_span, 0)
-        sol_cell = (
-            row_a[:, None, :]
-            & (jax.lax.broadcasted_iota(jnp.int32, (1, M, 1), 1) == op_c[:, None, :])
-        )
-        solution = jnp.where(sol_cell, s["time"][:, None, :], s["solution"])
+        if with_solution:
+            # reshape ints, never masks: Mosaic cannot shape-cast i1 vectors
+            row_a3 = row_a.astype(vdt)[:, None, :]  # (J, 1, TILE)
+            opc3 = op_c.astype(vdt)[:, None, :]  # (1, 1, TILE)
+            mio3 = jax.lax.broadcasted_iota(jnp.int32, (1, M, 1), 1).astype(vdt)
+            sol_cell = (row_a3 != 0) & (mio3 == opc3)
+            solution = jnp.where(sol_cell, s["time"][:, None, :], s["solution"])
+        else:
+            solution = s["solution"]
         # pin lifecycle via noop_pin only (EnvState.pin invariant): clear on
         # the allocated machine, set for every then-legal job on no-op
         nm_clip = jnp.clip(s["needed_machine"], 0, M - 1)
-        unpin = is_alloc & (nm_clip == m_a)
-        noop_pin = (s["noop_pin"] & ~unpin) | (is_noop & s["legal"])
-        ml_clear_noop = _seg_any(nm_clip, s["legal"], M)
+        unpin = allocJ & (nm_clip == m_a)
+        noop_pin = (s["noop_pin"] & ~unpin) | (noopJ & s["legal"])
+        ml_clear_noop = _seg_any(nm_clip, s["legal"], M, vdt)
 
-        legal = s["legal"] & ~kill_alloc & ~is_noop
+        legal = s["legal"] & ~kill_alloc & allocJ
         nb_legal = jnp.where(
             is_noop,
             0,
-            s["nb_legal"]
-            - jnp.sum(kill_alloc, axis=0, keepdims=True, dtype=jnp.int32),
+            s["nb_legal"] - _sum0(kill_alloc, vdt),
         )
         machine_legal = _sel(
-            is_noop,
+            ~allocM,
             s["machine_legal"] & ~ml_clear_noop,
             s["machine_legal"] & ~row_m,
         )
@@ -414,8 +464,8 @@ def _make_step(J, M, MAX_OP, tab):
         s, holes = fast_forward(s)
         raw = raw - holes
 
-        s = prioritization(s)
-        s = check_no_op(s)
+        s, dur_cur = prioritization(s)
+        s = check_no_op(s, dur_cur)
         return s, raw
 
     return step
@@ -426,43 +476,49 @@ def _make_step(J, M, MAX_OP, tab):
 # ---------------------------------------------------------------------------
 
 
-def _fresh(J, M, tile, op_machine):
+def _fresh(J, M, tile, op_machine, vdt):
     """Freshly-reset per-lane state (shared instance, no padding)."""
+    # every intermediate here stays an INT until after lane broadcast: Mosaic
+    # can neither reduce nor broadcast-replicate narrow (X, 1) i1 vectors
     first_m = op_machine[:, 0:1]  # (J, 1)
-    ml0 = (
-        jnp.concatenate(
-            [
-                jnp.any(first_m == m, axis=0, keepdims=True).astype(jnp.int32)
-                for m in range(M)
-            ],
-            axis=0,
-        )
-        != 0
-    )  # (M, 1)
-    nb_ml0 = jnp.sum(ml0, dtype=jnp.int32)
-    z = lambda kind, dt: jnp.zeros(_field_shape(kind, J, M, tile), dt)
+    fm32 = first_m.astype(jnp.int32)
+    ml0_i = jnp.concatenate(
+        [
+            jnp.minimum(
+                jnp.sum(
+                    jnp.where(fm32 == m, 1, 0), axis=0, keepdims=True,
+                    dtype=jnp.int32,
+                ),
+                1,
+            )
+            for m in range(M)
+        ],
+        axis=0,
+    ).astype(vdt)  # (M, 1) 0/1
+    nb_ml0 = jnp.sum(ml0_i.astype(jnp.int32), dtype=jnp.int32).astype(vdt)
+    z = lambda kind: jnp.zeros(_field_shape(kind, J, M, tile), vdt)
     return {
-        "time": z("l", jnp.int32),
+        "time": z("l"),
         "legal": jnp.ones((J, tile), jnp.bool_),
-        "noop_legal": z("l", jnp.bool_),
-        "nb_legal": jnp.full((1, tile), J, jnp.int32),
-        "nb_machine_legal": jnp.full((1, tile), nb_ml0, jnp.int32),
-        "machine_legal": jnp.broadcast_to(ml0, (M, tile)),
-        "solution": jnp.full((J, M, tile), -1, jnp.int32),
-        "machine_busy_for": z("M", jnp.int32),
-        "job_busy_for": z("J", jnp.int32),
-        "next_op": z("J", jnp.int32),
-        "work_done": z("J", jnp.int32),
-        "needed_machine": jnp.broadcast_to(first_m.astype(jnp.int32), (J, tile)),
-        "op_end_at": z("J", jnp.int32),
-        "idle_frozen": z("J", jnp.int32),
-        "idle_total_alloc": z("J", jnp.int32),
-        "noop_pin": z("J", jnp.bool_),
-        "wait4": z("J", jnp.int32),
+        "noop_legal": jnp.zeros((1, tile), jnp.bool_),
+        "nb_legal": jnp.full((1, tile), J, vdt),
+        "nb_machine_legal": jnp.full((1, tile), nb_ml0, vdt),
+        "machine_legal": jnp.broadcast_to(ml0_i, (M, tile)) != 0,
+        "solution": jnp.full((J, M, tile), -1, vdt),
+        "machine_busy_for": z("M"),
+        "job_busy_for": z("J"),
+        "next_op": z("J"),
+        "work_done": z("J"),
+        "needed_machine": jnp.broadcast_to(first_m.astype(vdt), (J, tile)),
+        "op_end_at": z("J"),
+        "idle_frozen": z("J"),
+        "idle_total_alloc": z("J"),
+        "noop_pin": jnp.zeros((J, tile), jnp.bool_),
+        "wait4": z("J"),
     }
 
 
-def _driven_kernel(J, M, T, MAX_OP):
+def _driven_kernel(J, M, T, MAX_OP, vdt):
     names = [f[0] for f in _FIELDS]
 
     def kernel(om_ref, od_ref, op_ref, cb_ref, actions_ref, *refs):
@@ -470,66 +526,79 @@ def _driven_kernel(J, M, T, MAX_OP):
         out = refs[len(_FIELDS) :]
         rewards_ref = out[0]
         state_out = out[1:]
-        tab = (om_ref[:], od_ref[:], op_ref[:], cb_ref[:])
-        step = _make_step(J, M, MAX_OP, tab)
-        s0 = _load_state(names, state_in)
+        tab = tuple(r[:].astype(vdt) for r in (om_ref, od_ref, op_ref, cb_ref))
+        step = _make_step(J, M, MAX_OP, tab, vdt)
+        s0 = _load_state(names, state_in, vdt)
         tile = s0["time"].shape[1]
-        fresh = _fresh(J, M, tile, tab[0])
+        fresh = _fresh(J, M, tile, tab[0], vdt)
 
         def body(t, sw):
             s = _narrow_masks(sw)
-            action = actions_ref[pl.ds(t, 1), :]  # (1, TILE)
+            action = actions_ref[pl.ds(t, 1), :]  # (1, TILE) int32
             s, raw = step(s, action)
-            rewards_ref[pl.ds(t, 1), :] = raw
+            rewards_ref[pl.ds(t, 1), :] = raw.astype(jnp.int32)
             # auto-reset finished lanes, matching vector.step_autoreset
             done = s["nb_legal"] == 0
-            return _widen_masks({k: _sel(done, fresh[k], s[k]) for k in s})
+            dx = {
+                k: _bx(done, v.shape, vdt) if v.shape != done.shape else done
+                for k, v in s.items()
+            }
+            return _widen_masks({k: _sel(dx[k], fresh[k], s[k]) for k in s}, vdt)
 
-        s = _narrow_masks(jax.lax.fori_loop(0, T, body, _widen_masks(s0)))
+        s = _narrow_masks(jax.lax.fori_loop(0, T, body, _widen_masks(s0, vdt)))
         for n, r in zip(names, state_out):
             v = s[n]
-            r[:] = v.astype(jnp.int32) if n in _BOOL_FIELDS else v
+            r[:] = v.astype(r.dtype) if n in _BOOL_FIELDS else v.astype(r.dtype)
 
     return kernel
 
 
-def _free_kernel(J, M, T, MAX_OP, SUM_OP):
+def _free_kernel(J, M, T, MAX_OP, SUM_OP, vdt, with_solution, use_prng=True):
     names = [f[0] for f in _FIELDS]
 
-    def kernel(seed_ref, om_ref, od_ref, op_ref, cb_ref, *refs):
+    def kernel(seed_ref, *all_refs):
+        if use_prng:
+            bits_ref, refs = None, all_refs
+        else:
+            # driven-bits mode: the caller supplies the (T, B) random words —
+            # interpret-mode testable (no on-core PRNG) and bit-reproducible
+            bits_ref, refs = all_refs[0], all_refs[1:]
+        om_ref, od_ref, op_ref, cb_ref = refs[:4]
+        refs = refs[4:]
         state_in = refs[: len(_FIELDS)]
         int_out, flt_out = refs[len(_FIELDS) :]
-        tab = (om_ref[:], od_ref[:], op_ref[:], cb_ref[:])
-        step = _make_step(J, M, MAX_OP, tab)
-        s0 = _load_state(names, state_in)
+        tab = tuple(r[:].astype(vdt) for r in (om_ref, od_ref, op_ref, cb_ref))
+        step = _make_step(J, M, MAX_OP, tab, vdt, with_solution=with_solution)
+        s0 = _load_state(names, state_in, vdt)
         tile = s0["time"].shape[1]
-        fresh = _fresh(J, M, tile, tab[0])
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        fresh = _fresh(J, M, tile, tab[0], vdt)
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         tril = jnp.tril(jnp.ones((J, J), jnp.float32))
 
-        def sample(s):
-            bits = pltpu.prng_random_bits((1, tile))
-            k31 = jax.lax.shift_right_logical(
-                pltpu.bitcast(bits, jnp.int32), 1
-            )  # non-negative int31
-            n = s["nb_legal"] + s["noop_legal"].astype(jnp.int32)
+        def sample(s, t):
+            if use_prng:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((1, tile)), jnp.int32
+                )
+            else:
+                bits = bits_ref[pl.ds(t, 1), :]
+            k31 = jax.lax.shift_right_logical(bits, 1)  # non-negative int31
+            n = (s["nb_legal"] + s["noop_legal"].astype(vdt)).astype(jnp.int32)
             k = jax.lax.rem(k31, jnp.maximum(n, 1))
             csum = jnp.dot(
                 tril,
-                s["legal"].astype(jnp.float32),
+                # two-step mask->int->float conversion: a direct narrow-mask
+                # to f32 convert trips Mosaic's layout inference
+                s["legal"].astype(vdt).astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
-            chosen = s["legal"] & (csum == (k + 1))
-            job = jnp.sum(
-                jnp.where(
-                    chosen,
-                    jax.lax.broadcasted_iota(jnp.int32, chosen.shape, 0),
-                    0,
-                ),
-                axis=0,
-                keepdims=True,
+            chosen = s["legal"] & (csum.astype(vdt) == (k + 1).astype(vdt))
+            jio = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0).astype(vdt)
+            job = _sum0(
+                jnp.where(chosen, jnp.broadcast_to(jio, chosen.shape), 0), vdt
             )
-            return jnp.where(k >= s["nb_legal"], J, job)
+            return jnp.where(k.astype(vdt) >= s["nb_legal"], J, job)
 
         acc0 = {
             "episodes": jnp.zeros((1, tile), jnp.int32),
@@ -543,26 +612,32 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP):
         def body(t, carry):
             sw, acc = carry
             s = _narrow_masks(sw)
-            action = sample(s)
+            action = sample(s, t)
             s, raw = step(s, action)
             done = s["nb_legal"] == 0
-            ep_raw = acc["ep_raw"] + raw
-            identity = 2 * SUM_OP - M * s["time"]
+            raw32 = raw.astype(jnp.int32)
+            time32 = s["time"].astype(jnp.int32)
+            ep_raw = acc["ep_raw"] + raw32
+            identity = 2 * SUM_OP - M * time32
             acc = {
                 "episodes": acc["episodes"] + done.astype(jnp.int32),
-                "mk_sum": acc["mk_sum"] + jnp.where(done, s["time"], 0),
+                "mk_sum": acc["mk_sum"] + jnp.where(done, time32, 0),
                 "mk_min": jnp.where(
-                    done, jnp.minimum(acc["mk_min"], s["time"]), acc["mk_min"]
+                    done, jnp.minimum(acc["mk_min"], time32), acc["mk_min"]
                 ),
-                "ret": acc["ret"] + raw.astype(jnp.float32) / float(MAX_OP),
+                "ret": acc["ret"] + raw32.astype(jnp.float32) / float(MAX_OP),
                 "viol": acc["viol"]
                 + (done & (ep_raw != identity)).astype(jnp.int32),
                 "ep_raw": jnp.where(done, 0, ep_raw),
             }
-            s = _widen_masks({k: _sel(done, fresh[k], s[k]) for k in s})
+            dx = {
+                k: _bx(done, v.shape, vdt) if v.shape != done.shape else done
+                for k, v in s.items()
+            }
+            s = _widen_masks({k: _sel(dx[k], fresh[k], s[k]) for k in s}, vdt)
             return s, acc
 
-        _, acc = jax.lax.fori_loop(0, T, body, (_widen_masks(s0), acc0))
+        _, acc = jax.lax.fori_loop(0, T, body, (_widen_masks(s0, vdt), acc0))
         # Mosaic cannot store scalars to VMEM: assemble the (8, 128) stats
         # tile as one vector value and store it in a single write.
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -628,10 +703,15 @@ def _tables(state: EnvState):
     )
 
 
-def _to_lanes(state: EnvState):
+def _storage_dtype(tag, vdt):
+    """VMEM storage dtype per field tag (bools ride as the value dtype)."""
+    return vdt
+
+
+def _to_lanes(state: EnvState, vdt):
     """Batch-first EnvState dynamic fields -> batch-last kernel arrays."""
     out = []
-    for name, kind, dt in _FIELDS:
+    for name, kind, tag in _FIELDS:
         x = jnp.asarray(getattr(state, name))
         if kind == "l":
             x = x[None, :]  # (1, B)
@@ -639,7 +719,7 @@ def _to_lanes(state: EnvState):
             x = x.T  # (B, X) -> (X, B)
         else:  # (B, X, Y) -> (X, Y, B)
             x = jnp.moveaxis(x, 0, -1)
-        out.append(x.astype(_storage_dtype(dt)))
+        out.append(x.astype(_storage_dtype(tag, vdt)))
     return out
 
 
@@ -657,13 +737,13 @@ def _from_lanes(arrays, state: EnvState) -> EnvState:
     return state.replace(**upd)
 
 
-def _pick_tile(B: int, tile: Optional[int]) -> int:
+def _pick_tile(B: int, tile: Optional[int], vdt) -> int:
     # VMEM note: per-tile footprint is dominated by the one 3-D field —
-    # solution (J, M, TILE) int32 (~1.2MB at 30x20 and TILE=512) — and the
-    # doubled in/out buffers. For big instances (ta71+: 100x20) pass a smaller
-    # tile (e.g. 128) if pallas_call fails on VMEM.
+    # solution (J, M, TILE) (~0.9MB at 30x20, TILE=512, int32) — and the
+    # doubled in/out buffers. int16 mode halves everything; the defaults
+    # below stay within the 16MB scoped-vmem limit for the ta families.
     if tile is None:
-        tile = min(B, 512)
+        tile = min(B, 2048 if vdt == jnp.int16 else 1024)
     if B % tile != 0:
         raise ValueError(f"batch {B} must be a multiple of tile {tile}")
     return tile
@@ -686,22 +766,26 @@ def rollout_driven(
     J, M = _check_uniform(state)
     B = state.time.shape[0]
     T = int(num_steps)
-    tile = _pick_tile(B, tile)
+    # the driven kernel is the differential-testing path, not the perf path:
+    # it always runs int32 (the int16 layouts only pay off in the free-running
+    # benchmark kernel, and int32 keeps this reference build maximally boring)
+    vdt = jnp.int32
+    tile = _pick_tile(B, tile, vdt)
     MAX_OP = int(np.asarray(state.max_time_op).ravel()[0])
 
     final, rewards = _driven_core(state, jnp.asarray(actions, jnp.int32),
-                                  J, M, T, tile, MAX_OP, interpret)
+                                  J, M, T, tile, MAX_OP, vdt, interpret)
     return final, rewards
 
 
 @functools.partial(
-    jax.jit, static_argnames=("J", "M", "T", "tile", "MAX_OP", "interpret")
+    jax.jit, static_argnames=("J", "M", "T", "tile", "MAX_OP", "vdt", "interpret")
 )
-def _driven_core(state, actions, J, M, T, tile, MAX_OP, interpret):
+def _driven_core(state, actions, J, M, T, tile, MAX_OP, vdt, interpret):
     B = state.time.shape[0]
     grid = B // tile
     tab = _tables(state)
-    lanes = _to_lanes(state)
+    lanes = _to_lanes(state, vdt)
 
     tab_spec = pl.BlockSpec((J, M), lambda g: (0, 0), memory_space=pltpu.VMEM)
     act_spec = pl.BlockSpec((T, tile), lambda g: (0, g), memory_space=pltpu.VMEM)
@@ -713,13 +797,15 @@ def _driven_core(state, actions, J, M, T, tile, MAX_OP, interpret):
 
     state_specs = [field_spec(kind) for _, kind, _ in _FIELDS]
     out_shapes = [jax.ShapeDtypeStruct((T, B), jnp.int32)] + [
-        jax.ShapeDtypeStruct(_field_shape(kind, J, M, B), _storage_dtype(dt))
-        for _, kind, dt in _FIELDS
+        jax.ShapeDtypeStruct(
+            _field_shape(kind, J, M, B), _storage_dtype(tag, vdt)
+        )
+        for _, kind, tag in _FIELDS
     ]
     out_specs = [act_spec] + state_specs
 
     res = pl.pallas_call(
-        _driven_kernel(J, M, T, MAX_OP),
+        _driven_kernel(J, M, T, MAX_OP, vdt),
         grid=(grid,),
         in_specs=[tab_spec] * 4 + [act_spec] + state_specs,
         out_specs=out_specs,
@@ -736,6 +822,8 @@ def rollout_free(
     seed: jax.Array = 0,
     tile: Optional[int] = None,
     interpret: bool = False,
+    with_solution: bool = True,
+    bits: Optional[jax.Array] = None,
 ) -> dict:
     """Free-running random-legal-policy rollout with auto-reset, fully fused.
 
@@ -743,28 +831,47 @@ def rollout_free(
     total_makespan, min_makespan, steps, identity_violations, total_return.
     ``identity_violations`` MUST be 0 — any completed episode violating the
     exact reward identity marks a simulator bug. Assumes ``state`` is freshly
-    reset (the identity accumulator starts at zero).
+    reset (the identity accumulator starts at zero). ``with_solution=False``
+    skips the per-step start-time-matrix writes for stats-only workloads
+    (the XLA twin is ``vector.strip_solution`` + ``vector.rollout``).
+
+    ``bits``: optional (T, B) uint32/int32 random words. When given, the
+    kernel consumes them instead of the on-core PRNG — deterministic across
+    backends and runnable under the CPU interpreter (which has no
+    ``prng_seed`` lowering), so the free-running path gets real differential
+    test coverage (tests/test_pallas.py).
     """
     J, M = _check_uniform(state)
     B = state.time.shape[0]
     T = int(num_steps)
-    tile = _pick_tile(B, tile)
+    vdt = value_dtype(state)
+    tile = _pick_tile(B, tile, vdt)
     MAX_OP = int(np.asarray(state.max_time_op).ravel()[0])
     SUM_OP = int(np.asarray(state.sum_op).ravel()[0])
+    if bits is not None:
+        bits = jnp.asarray(bits).view(jnp.int32) if bits.dtype == jnp.uint32             else jnp.asarray(bits, jnp.int32)
+        if bits.shape != (T, B):
+            raise ValueError(f"bits must be (T, B)=({T}, {B}), got {bits.shape}")
     return _free_core(
-        state, jnp.asarray(seed, jnp.int32), J, M, T, tile, MAX_OP, SUM_OP, interpret
+        state, jnp.asarray(seed, jnp.int32), bits, J, M, T, tile, MAX_OP,
+        SUM_OP, vdt, bool(with_solution), interpret
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("J", "M", "T", "tile", "MAX_OP", "SUM_OP", "interpret"),
+    static_argnames=(
+        "J", "M", "T", "tile", "MAX_OP", "SUM_OP", "vdt", "with_solution",
+        "interpret",
+    ),
 )
-def _free_core(state, seed, J, M, T, tile, MAX_OP, SUM_OP, interpret):
+def _free_core(state, seed, bits, J, M, T, tile, MAX_OP, SUM_OP, vdt,
+               with_solution, interpret):
     B = state.time.shape[0]
     grid = B // tile
     tab = _tables(state)
-    lanes = _to_lanes(state)
+    lanes = _to_lanes(state, vdt)
+    use_prng = bits is None
 
     tab_spec = pl.BlockSpec((J, M), lambda g: (0, 0), memory_space=pltpu.VMEM)
 
@@ -777,11 +884,18 @@ def _free_core(state, seed, J, M, T, tile, MAX_OP, SUM_OP, interpret):
     stat_spec = pl.BlockSpec(
         (1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
     )
+    bits_in, bits_spec = (), ()
+    if not use_prng:
+        bits_in = (bits,)
+        bits_spec = (
+            pl.BlockSpec((T, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
+        )
 
     ints, flts = pl.pallas_call(
-        _free_kernel(J, M, T, MAX_OP, SUM_OP),
+        _free_kernel(J, M, T, MAX_OP, SUM_OP, vdt, with_solution, use_prng),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + list(bits_spec)
         + [tab_spec] * 4
         + state_specs,
         out_specs=[stat_spec, stat_spec],
@@ -790,7 +904,7 @@ def _free_core(state, seed, J, M, T, tile, MAX_OP, SUM_OP, interpret):
             jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(seed.reshape(1), *tab, *lanes)
+    )(seed.reshape(1), *bits_in, *tab, *lanes)
     return {
         "episodes": jnp.sum(ints[:, 0, 0]),
         "total_makespan": jnp.sum(ints[:, 0, 1]),

