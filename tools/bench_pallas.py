@@ -16,8 +16,8 @@ from jssenv_tpu.core import pallas_rollout
 
 name = sys.argv[1] if len(sys.argv) > 1 else "ta01"
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-T = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-tile = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+T = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+tile = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
 
 print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
 spec = inst.get_instance(name)
