@@ -102,11 +102,11 @@ def main() -> None:
         state = vector.make_batch(source, batch)
 
         engine_name = "xla"
-        if backend != "cpu" and len(names) == 1:
+        if backend != "cpu":
             try:
                 from jssenv_tpu.core import pallas_rollout
 
-                pallas_rollout._check_uniform(state)
+                pallas_rollout._group_lanes(state, 1)  # feasibility only
                 engine_name = "pallas"
             except (ImportError, ValueError) as e:
                 log(f"pallas path unavailable ({e}); using XLA scan")
@@ -181,11 +181,13 @@ def main() -> None:
 
     record = run_config(args.instance, args.batch, args.steps)
 
-    # BASELINE config #4 (ragged ta41-ta50 set, batch 4096) rides along as a
-    # nested record so stdout stays ONE JSON line for the driver.
+    # BASELINE config #4 (ragged ta41-ta50 set) rides along as a nested
+    # record so stdout stays ONE JSON line for the driver. 10240 = 10
+    # instances x 1024 lanes: equal instance-major groups, so the fused
+    # kernel's per-tile table selection applies to the ragged set too.
     if args.instance == "ta01" and backend != "cpu" and not args.no_extra:
         try:
-            record["extra"] = [run_config("ta41-ta50", 4096, args.steps)]
+            record["extra"] = [run_config("ta41-ta50", 10240, args.steps)]
         except Exception as e:  # never let the extra config sink the primary
             log(f"extra config failed: {e}")
 

@@ -236,7 +236,15 @@ def _swap_adjacent(orders, msel, p):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+# Max annealing iterations per device call. One XLA program that runs for
+# many minutes gets the whole TPU server process killed on hosted/relayed
+# deployments (observed here: the axon relay's watchdog takes down the device
+# mid-run and every subsequent call fails UNAVAILABLE). Chunking costs one
+# dispatch (~0.1s) per _CHUNK iterations and changes nothing numerically —
+# the carry, RNG key and absolute-iteration temperature schedule flow through.
+_CHUNK = 256
+
+
 def anneal(
     tables,
     orders0: jax.Array,
@@ -254,8 +262,22 @@ def anneal(
     can reduce the makespan); with probability ``p_random`` (or when no
     critical pair exists) a uniformly random adjacent pair instead, for
     ergodicity. Metropolis acceptance with a geometric temperature schedule
-    scaled per lane by the seed makespan (t0_frac/t1_frac of it).
+    scaled per lane by the seed makespan (t0_frac/t1_frac of it). Runs in
+    bounded device-call chunks (see _CHUNK).
     """
+    carry = _anneal_init(tables, orders0, seed)
+    for i0 in range(0, int(iters), _CHUNK):
+        n = min(_CHUNK, int(iters) - i0)
+        carry = _anneal_chunk(
+            tables, carry, jnp.int32(i0), n, int(iters), t0_frac, t1_frac,
+            p_random,
+        )
+    _, _, (best_orders, best_mk, _, _), _ = carry
+    return best_orders, best_mk
+
+
+@jax.jit
+def _anneal_init(tables, orders0, seed):
     mk0, starts0 = _sweep(tables, orders0)
     B = orders0.shape[0]
     # lanes whose seed is infeasible anneal from the best feasible seed
@@ -273,6 +295,19 @@ def anneal(
     # criticality of the *current* state never needs a fresh sweep
     tails0 = _tails(rtables, orders0)
     rng = jax.random.key(seed)
+    cur0 = (orders0, mk0, starts0, tails0)
+    return rng, cur0, cur0, mk0
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
+                  p_random):
+    rng, cur, best, mk_seed = chunk_carry
+    # per-lane temperature scale is pinned to the SEED makespans for the
+    # whole run (chunking must not change the schedule)
+    scale = jnp.maximum(mk_seed.astype(jnp.float32), 1.0)
+    B, M, J = cur[0].shape
+    rtables = reverse_tables(tables)
 
     def body(i, carry):
         rng, cur, best = carry
@@ -290,7 +325,7 @@ def anneal(
         prop = _swap_adjacent(orders, msel, p)
         mk_p, starts_p = _sweep(tables, prop)
         tails_p = _tails(rtables, prop)
-        frac = i.astype(jnp.float32) / float(max(iters - 1, 1))
+        frac = (i0 + i).astype(jnp.float32) / float(max(iters - 1, 1))
         temp = scale * (t0_frac * (t1_frac / t0_frac) ** frac)
         delta = (mk_p - mk).astype(jnp.float32)
         accept = (mk_p < _I32_MAX) & (
@@ -309,7 +344,7 @@ def anneal(
         best_tails = jnp.where(b3, tails_p, best_tails)
         # intensification: every _RESTART_EVERY iters, lanes that drifted
         # >5% above their own best snap back to it
-        drifted = (jnp.mod(i, _RESTART_EVERY) == _RESTART_EVERY - 1) & (
+        drifted = (jnp.mod(i0 + i, _RESTART_EVERY) == _RESTART_EVERY - 1) & (
             mk.astype(jnp.float32) > 1.05 * best_mk.astype(jnp.float32)
         )
         d3 = drifted[:, None, None]
@@ -320,7 +355,5 @@ def anneal(
         return rng, (orders, mk, starts, tails), (
             best_orders, best_mk, best_starts, best_tails)
 
-    cur0 = (orders0, mk0, starts0, tails0)
-    carry = (rng, cur0, cur0)
-    _, _, (best_orders, best_mk, _, _) = jax.lax.fori_loop(0, iters, body, carry)
-    return best_orders, best_mk
+    rng, cur, best = jax.lax.fori_loop(0, n, body, (rng, cur, best))
+    return rng, cur, best, mk_seed

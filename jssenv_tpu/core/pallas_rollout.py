@@ -109,9 +109,9 @@ def value_dtype(state: EnvState):
     if os.environ.get("JSS_PALLAS_INT16") != "1":
         return jnp.int32
     bound = (
-        int(np.asarray(state.sum_op).ravel()[0])
-        + 2 * int(np.asarray(state.max_time_jobs).ravel()[0])
-        + int(np.asarray(state.max_time_op).ravel()[0])
+        int(np.asarray(state.sum_op).max())
+        + 2 * int(np.asarray(state.max_time_jobs).max())
+        + int(np.asarray(state.max_time_op).max())
     )
     return jnp.int16 if bound < 32000 else jnp.int32
 
@@ -237,11 +237,24 @@ def _seg_any(seg, mask, M, vdt):
 # ---------------------------------------------------------------------------
 
 
-def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
-    """Returns step(s: dict, action (1,TILE) vdt) -> (s', raw_reward (1,TILE))."""
+def _make_step(J, M, tab, lane, vdt, with_solution=True):
+    """Returns step(s: dict, action (1,TILE) vdt) -> (s', raw_reward (1,TILE)).
+
+    ``lane`` holds the per-lane instance bounds as (1, TILE) vdt values:
+    ``nj`` (num_jobs), ``nm`` (num_machines), ``mo`` (max_time_op). J/M are
+    the PADDED static axes; every reference semantic that reads the real
+    instance dimensions (reference jss_env.py uses self.jobs/self.machines)
+    compares against nj/nm so padded rows/columns stay inert — exactly the
+    engine's job_valid/machine_valid discipline (core/engine.py).
+    """
     op_machine, op_dur, op_pos, cum_before = tab
+    nj, nm, mo = lane["nj"], lane["nm"], lane["mo"]
     jio = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0).astype(vdt)
     mio = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).astype(vdt)
+    # (M, TILE) mask when nm is per-lane; None with static full bounds
+    # (every machine valid — don't even trace the compare: Mosaic keeps
+    # jaxpr-level dead ops and its scheduling is sensitive to them)
+    m_valid = None if isinstance(nm, int) and nm == M else (mio < nm)
     VMAX = jnp.asarray(_maxv(vdt), vdt)
 
     def fast_forward(s):
@@ -260,7 +273,7 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
         running = s["job_busy_for"] > 0
         c = s["time"] + s["job_busy_for"]  # (J, TILE)
         nxt_op = s["next_op"] + 1
-        cont = running & (nxt_op < M)
+        cont = running & (nxt_op < nm)
         m_next = _gather_tab(op_machine, jnp.clip(nxt_op, 0, M - 1), M)
         f_next = s["time"] + _lookup_rows(tua0, m_next, M)
         run_ok = cont  # cont jobs were running, hence unpinned (EnvState.pin)
@@ -286,8 +299,8 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
         completed = running & (c <= T_stop)
         op_end_at = jnp.where(completed, c, s["op_end_at"])
         next_op = s["next_op"] + completed.astype(vdt)
-        finished_now = completed & (next_op == M)
-        continues = completed & (next_op < M)
+        finished_now = completed & (next_op == nm)
+        continues = completed & (next_op < nm)
         needed = jnp.where(
             continues, m_next, jnp.where(finished_now, -1, s["needed_machine"])
         )
@@ -295,7 +308,15 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
         drop = finished_now & s["legal"]
         legal = s["legal"] & ~drop
         nb_legal = s["nb_legal"] - _sum0(drop, vdt)
-        holes = _sum0(span - jnp.minimum(tua0, span), vdt)
+        # padded machines are permanently free (tua0 == 0) and must not
+        # accrue holes (engine.advance_time's m_valid guard); with static
+        # full bounds every machine is valid and the mask drops out entirely
+        if m_valid is None:
+            holes = _sum0(span - jnp.minimum(tua0, span), vdt)
+        else:
+            holes = _sum0(
+                jnp.where(m_valid, span - jnp.minimum(tua0, span), 0), vdt
+            )
         machine_busy_for = jnp.maximum(0, tua0 - span)
 
         cand = e_j == T_stop
@@ -336,7 +357,7 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
         cand = s["legal"] & (s["needed_machine"] >= 0)
         gate = _lookup_rows(s["machine_legal"], m_of, M)
         dur_cur = _gather_tab(op_dur, jnp.clip(s["next_op"], 0, M - 1), M)
-        is_final = s["next_op"] == (M - 1)
+        is_final = s["next_op"] == (nm - 1)
         next_m = _gather_tab(op_machine, jnp.clip(s["next_op"] + 1, 0, M - 1), M)
         eligible = (
             cand & gate & ~is_final & (_lookup_rows(s["machine_busy_for"], next_m, M) == 0)
@@ -359,7 +380,7 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
         # change next_op since (prioritization only masks)
         end = s["time"] + dur_cur
         early_out = _any0(lj & (end < next_ev), vdt)
-        cap = s["time"] + MAX_OP
+        cap = s["time"] + mo
         j_of = jnp.broadcast_to(jio, lj.shape)
         first_j = _seg_min(m1, j_of, lj, M)  # (M, TILE)
         has = first_j != _maxv(vdt)
@@ -369,8 +390,8 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
         mh = jnp.minimum(cap, _seg_min(m1, end, lj, M))  # (M, TILE)
 
         illegal = ~s["legal"]
-        case1 = illegal & (s["job_busy_for"] > 0) & (s["next_op"] + 1 < M)
-        case2 = illegal & ~case1 & ~s["noop_pin"] & (s["next_op"] < M)
+        case1 = illegal & (s["job_busy_for"] > 0) & (s["next_op"] + 1 < nm)
+        case2 = illegal & ~case1 & ~s["noop_pin"] & (s["next_op"] < nm)
         start = jnp.where(case1, s["next_op"] + 1, s["next_op"])
         active = case1 | case2
         base = jnp.where(
@@ -382,7 +403,7 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
         for m in range(M):
             tn = base + cum_before[:, m : m + 1]  # (J, TILE)
             pos_m = op_pos[:, m : m + 1]
-            ok = active & (pos_m >= start) & (pos_m < (M - 1)) & (max_horizon > tn)
+            ok = active & (pos_m >= start) & (pos_m < (nm - 1)) & (max_horizon > tn)
             tn_min = _min0(jnp.where(ok, tn, VMAX))
             covered = ~s["machine_legal"][m : m + 1, :] | (tn_min < mh[m : m + 1, :])
             all_covered = all_covered & covered
@@ -393,7 +414,7 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
 
     def step(s, action):
         action = action.astype(vdt)
-        is_noop = action >= J
+        is_noop = action >= nj
         is_alloc = ~is_noop
         a = jnp.where(is_alloc, jnp.clip(action, 0, J - 1), 0)  # (1, TILE)
         row_sel = jio == a  # (J, TILE) one-hot regardless of branch
@@ -476,8 +497,12 @@ def _make_step(J, M, MAX_OP, tab, vdt, with_solution=True):
 # ---------------------------------------------------------------------------
 
 
-def _fresh(J, M, tile, op_machine, vdt):
-    """Freshly-reset per-lane state (shared instance, no padding)."""
+def _fresh_static(J, M, tile, op_machine, vdt):
+    """Freshly-reset state, unpadded-single-instance fast path.
+
+    VERBATIM op order matters here: Mosaic's scheduler was measured to cost
+    ~20% end-to-end when semantically-identical fresh-state construction ops
+    were emitted in a different order — keep this exactly as benchmarked."""
     # every intermediate here stays an INT until after lane broadcast: Mosaic
     # can neither reduce nor broadcast-replicate narrow (X, 1) i1 vectors
     first_m = op_machine[:, 0:1]  # (J, 1)
@@ -518,19 +543,88 @@ def _fresh(J, M, tile, op_machine, vdt):
     }
 
 
-def _driven_kernel(J, M, T, MAX_OP, vdt):
+def _fresh(J, M, tile, op_machine, lane, vdt):
+    """Freshly-reset per-lane state (engine._fresh_state twin, batch-last).
+
+    Padded job rows start already-finished (next_op == nm, needed == -1) and
+    padded machines never legal, mirroring engine init. Every intermediate
+    stays an INT until after lane broadcast: Mosaic can neither reduce nor
+    broadcast-replicate narrow i1 vectors.
+    """
+    nj, nm = lane["nj"], lane["nm"]
+    if isinstance(nj, int) and nj == J and nm == M:
+        return _fresh_static(J, M, tile, op_machine, vdt)
+    jio = jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0).astype(vdt)
+    first_m = op_machine[:, 0:1]  # (J, 1)
+    validJ = jnp.broadcast_to(jio, (J, tile)) < nj  # (J, TILE)
+    validJ_i = validJ.astype(vdt)
+    # machine_legal[m] = some VALID job's first op runs on m; counts go
+    # through the int domain (one-hot (J,1) int * valid (J,TILE) int)
+    rows = []
+    for m in range(M):
+        oneh = jnp.where(first_m == m, 1, 0).astype(vdt)  # (J, 1)
+        rows.append(jnp.minimum(_sum0(oneh * validJ_i, jnp.int32), 1))
+    ml0_i = jnp.concatenate(rows, axis=0).astype(vdt)  # (M, TILE) 0/1
+    nb_ml0 = _sum0(ml0_i, vdt)  # (1, TILE)
+    z = lambda kind: jnp.zeros(_field_shape(kind, J, M, tile), vdt)
+    return {
+        "time": z("l"),
+        "legal": validJ,
+        "noop_legal": jnp.zeros((1, tile), jnp.bool_),
+        "nb_legal": jnp.broadcast_to(jnp.asarray(nj, vdt), (1, tile)),
+        "nb_machine_legal": nb_ml0,
+        "machine_legal": ml0_i != 0,
+        "solution": jnp.full((J, M, tile), -1, vdt),
+        "machine_busy_for": z("M"),
+        "job_busy_for": z("J"),
+        "next_op": jnp.where(
+            validJ, 0, jnp.broadcast_to(jnp.asarray(nm, vdt), (1, tile))
+        ),
+        "work_done": z("J"),
+        "needed_machine": jnp.where(
+            validJ, jnp.broadcast_to(first_m.astype(vdt), (J, tile)), -1
+        ),
+        "op_end_at": z("J"),
+        "idle_frozen": z("J"),
+        "idle_total_alloc": z("J"),
+        "noop_pin": jnp.zeros((J, tile), jnp.bool_),
+        "wait4": z("J"),
+    }
+
+
+def _driven_kernel(J, M, T, vdt, static_lane=None):
+    """``static_lane``: frozen (nj, nm, mo) python ints for a uniform
+    unpadded batch — every instance-bound comparison then folds to the
+    compile-time constant form (measurably faster than per-lane broadcasts);
+    None = per-lane bounds from the three extra input refs."""
     names = [f[0] for f in _FIELDS]
 
-    def kernel(om_ref, od_ref, op_ref, cb_ref, actions_ref, *refs):
+    def kernel(om_ref, od_ref, op_ref, cb_ref, *all_refs):
+        if static_lane is None:
+            nj_ref, nm_ref, mo_ref = all_refs[:3]
+            refs = all_refs[3:]
+            lane = {
+                "nj": nj_ref[:].astype(vdt),
+                "nm": nm_ref[:].astype(vdt),
+                "mo": mo_ref[:].astype(vdt),
+            }
+        else:
+            refs = all_refs
+            lane = dict(static_lane)
+        actions_ref = refs[0]
+        refs = refs[1:]
         state_in = refs[: len(_FIELDS)]
         out = refs[len(_FIELDS) :]
         rewards_ref = out[0]
         state_out = out[1:]
-        tab = tuple(r[:].astype(vdt) for r in (om_ref, od_ref, op_ref, cb_ref))
-        step = _make_step(J, M, MAX_OP, tab, vdt)
+        tab = tuple(
+            (r[:] if r.shape[0] == J else r[:][:J]).astype(vdt)
+            for r in (om_ref, od_ref, op_ref, cb_ref)
+        )
+        step = _make_step(J, M, tab, lane, vdt)
         s0 = _load_state(names, state_in, vdt)
         tile = s0["time"].shape[1]
-        fresh = _fresh(J, M, tile, tab[0], vdt)
+        fresh = _fresh(J, M, tile, tab[0], lane, vdt)
 
         def body(t, sw):
             s = _narrow_masks(sw)
@@ -553,7 +647,8 @@ def _driven_kernel(J, M, T, MAX_OP, vdt):
     return kernel
 
 
-def _free_kernel(J, M, T, MAX_OP, SUM_OP, vdt, with_solution, use_prng=True):
+def _free_kernel(J, M, T, vdt, with_solution, use_prng=True,
+                 static_lane=None):
     names = [f[0] for f in _FIELDS]
 
     def kernel(seed_ref, *all_refs):
@@ -565,13 +660,32 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP, vdt, with_solution, use_prng=True):
             bits_ref, refs = all_refs[0], all_refs[1:]
         om_ref, od_ref, op_ref, cb_ref = refs[:4]
         refs = refs[4:]
+        if static_lane is None:
+            nj_ref, nm_ref, mo_ref, so_ref = refs[:4]
+            refs = refs[4:]
+            lane = {
+                "nj": nj_ref[:].astype(vdt),
+                "nm": nm_ref[:].astype(vdt),
+                "mo": mo_ref[:].astype(vdt),
+            }
+            nm32 = nm_ref[:].astype(jnp.int32)
+            so32 = so_ref[:]  # (1, TILE) int32 per-lane sum_op
+            mo_f32 = mo_ref[:].astype(jnp.float32)
+        else:
+            lane = {k: static_lane[k] for k in ("nj", "nm", "mo")}
+            nm32 = static_lane["nm"]
+            so32 = static_lane["so"]
+            mo_f32 = float(static_lane["mo"])
         state_in = refs[: len(_FIELDS)]
         int_out, flt_out = refs[len(_FIELDS) :]
-        tab = tuple(r[:].astype(vdt) for r in (om_ref, od_ref, op_ref, cb_ref))
-        step = _make_step(J, M, MAX_OP, tab, vdt, with_solution=with_solution)
+        tab = tuple(
+            (r[:] if r.shape[0] == J else r[:][:J]).astype(vdt)
+            for r in (om_ref, od_ref, op_ref, cb_ref)
+        )
+        step = _make_step(J, M, tab, lane, vdt, with_solution=with_solution)
         s0 = _load_state(names, state_in, vdt)
         tile = s0["time"].shape[1]
-        fresh = _fresh(J, M, tile, tab[0], vdt)
+        fresh = _fresh(J, M, tile, tab[0], lane, vdt)
         if use_prng:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         tril = jnp.tril(jnp.ones((J, J), jnp.float32))
@@ -598,7 +712,7 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP, vdt, with_solution, use_prng=True):
             job = _sum0(
                 jnp.where(chosen, jnp.broadcast_to(jio, chosen.shape), 0), vdt
             )
-            return jnp.where(k.astype(vdt) >= s["nb_legal"], J, job)
+            return jnp.where(k.astype(vdt) >= s["nb_legal"], lane["nj"], job)
 
         acc0 = {
             "episodes": jnp.zeros((1, tile), jnp.int32),
@@ -618,14 +732,14 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP, vdt, with_solution, use_prng=True):
             raw32 = raw.astype(jnp.int32)
             time32 = s["time"].astype(jnp.int32)
             ep_raw = acc["ep_raw"] + raw32
-            identity = 2 * SUM_OP - M * time32
+            identity = 2 * so32 - nm32 * time32
             acc = {
                 "episodes": acc["episodes"] + done.astype(jnp.int32),
                 "mk_sum": acc["mk_sum"] + jnp.where(done, time32, 0),
                 "mk_min": jnp.where(
                     done, jnp.minimum(acc["mk_min"], time32), acc["mk_min"]
                 ),
-                "ret": acc["ret"] + raw32.astype(jnp.float32) / float(MAX_OP),
+                "ret": acc["ret"] + raw32.astype(jnp.float32) / mo_f32,
                 "viol": acc["viol"]
                 + (done & (ep_raw != identity)).astype(jnp.int32),
                 "ep_raw": jnp.where(done, 0, ep_raw),
@@ -664,36 +778,131 @@ def _free_kernel(J, M, T, MAX_OP, SUM_OP, vdt, with_solution, use_prng=True):
     return kernel
 
 
+
+
 # ---------------------------------------------------------------------------
 # host wrappers
 # ---------------------------------------------------------------------------
 
 
-def _check_uniform(state: EnvState) -> Tuple[int, int]:
-    """The kernel requires one shared unpadded instance across all lanes."""
-    J, M = state.jobs_pad, state.machines_pad
-    nj = np.asarray(state.num_jobs)
-    nm = np.asarray(state.num_machines)
-    om = np.asarray(state.op_machine)
-    if not (np.all(nj == J) and np.all(nm == M)):
+_GROUP_CACHE: dict = {}
+
+
+def _group_lanes(state: EnvState, tile: int):
+    """Validate/derive the instance-major lane layout the kernel needs.
+
+    Every TILE of lanes must share one instance (the kernel loads one
+    (J, M) table block per grid step). Lanes are fingerprinted by their
+    instance tensors and stably grouped; returns ``(perm, n_groups)`` where
+    ``perm`` reorders lanes instance-major (None when already grouped).
+    Raises ValueError when the batch cannot be tiled this way (unequal
+    group sizes, or group size not a multiple of ``tile``).
+
+    The fingerprinting pulls the instance tables to the host — several MB
+    and, over a remote-relay device, ~0.1s per call — so the result is
+    cached by table-array identity (rollouts re-call this every invocation
+    with the same immutable arrays).
+    """
+    key = (id(state.op_machine), id(state.op_dur))
+    hit = _GROUP_CACHE.get(key)
+    if hit is not None and hit[0] is state.op_machine and hit[1] is state.op_dur:
+        perm, n = hit[2]
+    else:
+        perm, n = _group_lanes_uncached(state)
+        if len(_GROUP_CACHE) > 16:
+            _GROUP_CACHE.clear()
+        _GROUP_CACHE[key] = (state.op_machine, state.op_dur, (perm, n))
+    B = state.op_machine.shape[0]
+    per = B // n
+    if per % tile != 0:
         raise ValueError(
-            "pallas rollout needs an unpadded single-instance batch "
-            f"(num_jobs=={J}, num_machines=={M} on every lane); "
-            "use vector.rollout for ragged/padded batches"
+            f"lanes per instance ({per}) must be a multiple of tile ({tile}); "
+            f"pick batch = n_instances * k * tile"
         )
-    if om.ndim == 3 and not (om == om[0]).all():
-        raise ValueError("pallas rollout needs all lanes on the same instance")
-    if state.solution.shape[-2] != J:
+    return perm, n
+
+
+def _group_lanes_uncached(state: EnvState):
+    om = np.asarray(state.op_machine)
+    od = np.asarray(state.op_dur)
+    njs = np.asarray(state.num_jobs)
+    nms = np.asarray(state.num_machines)
+    B = om.shape[0]
+    gid_of = {}
+    gids = np.empty(B, np.int64)
+    for i in range(B):
+        key = (om[i].tobytes(), od[i].tobytes(), int(njs[i]), int(nms[i]))
+        gids[i] = gid_of.setdefault(key, len(gid_of))
+    n = len(gid_of)
+    counts = np.bincount(gids, minlength=n)
+    if not (counts == counts[0]).all():
+        raise ValueError(
+            f"pallas rollout needs equal lanes per instance, got {counts}"
+        )
+    if (np.diff(gids) >= 0).all():
+        return None, n  # already instance-major (e.g. single instance)
+    return np.argsort(gids, kind="stable"), n
+
+
+def _require_full_solution(state: EnvState) -> None:
+    if state.solution.shape[-2] != state.jobs_pad:
         raise ValueError(
             "pallas rollout needs a full solution matrix; "
             "light states (vector.strip_solution) take the XLA path"
         )
-    return J, M
+
+
+def _permute(state: EnvState, perm) -> EnvState:
+    return jax.tree.map(lambda x: x[perm], state)
+
+
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _tables_stacked(state: EnvState, n: int):
+    """(n*J8, M) int32 stacked static tables, one 8-row-aligned (J8, M)
+    block per instance (Mosaic requires block sublane counts divisible by 8
+    unless the block spans the whole array; the kernel slices back to J).
+    Lane order must already be instance-major."""
+    B = state.op_machine.shape[0]
+    per = B // n
+    sel = slice(None, None, per)  # first lane of each group
+
+    def pick(x):
+        x = jnp.asarray(x, jnp.int32)
+        if x.ndim == 2:  # unbatched static table
+            x = jnp.broadcast_to(x[None], (n,) + x.shape)
+        else:
+            x = x[sel]
+        J = x.shape[1]
+        x = jnp.pad(x, ((0, 0), (0, _pad8(J) - J), (0, 0)))
+        return x.reshape(n * _pad8(J), x.shape[2])
+
+    return (
+        pick(state.op_machine),
+        pick(state.op_dur),
+        pick(state.op_pos),
+        pick(state.cum_before),
+    )
+
+
+def _lane_consts(state: EnvState):
+    """(1, B) per-lane instance bounds: num_jobs, num_machines, max_time_op
+    (int32 storage; the kernel casts to the value dtype) and sum_op (int32,
+    free-kernel identity check)."""
+    as_row = lambda x: jnp.asarray(x, jnp.int32)[None, :]
+    return (
+        as_row(state.num_jobs),
+        as_row(state.num_machines),
+        as_row(jnp.broadcast_to(state.max_time_op, state.num_jobs.shape)),
+        as_row(jnp.broadcast_to(state.sum_op, state.num_jobs.shape)),
+    )
 
 
 def _tables(state: EnvState):
-    """(J, M) int32 static tables from lane 0 (traceable; uniformity across
-    lanes is validated eagerly by _check_uniform before tracing)."""
+    """(J, M) int32 static tables from lane 0 (single-instance helper kept
+    for external callers/tests)."""
     pick = lambda x: jnp.asarray(x[0] if jnp.ndim(x) == 3 else x, jnp.int32)
     return (
         pick(state.op_machine),
@@ -737,16 +946,85 @@ def _from_lanes(arrays, state: EnvState) -> EnvState:
     return state.replace(**upd)
 
 
-def _pick_tile(B: int, tile: Optional[int], vdt) -> int:
+def _pick_tile(B: int, tile, vdt, state=None) -> int:
     # VMEM note: per-tile footprint is dominated by the one 3-D field —
     # solution (J, M, TILE) (~0.9MB at 30x20, TILE=512, int32) — and the
     # doubled in/out buffers. int16 mode halves everything; the defaults
     # below stay within the 16MB scoped-vmem limit for the ta families.
     if tile is None:
-        tile = min(B, 2048 if vdt == jnp.int16 else 1024)
+        import math
+
+        default = min(B, 2048 if vdt == jnp.int16 else 1024)
+        if state is not None:
+            _, n = _group_lanes(state, 1)  # tile=1 always divides
+            default = math.gcd(B // n, default)
+        tile = default
     if B % tile != 0:
         raise ValueError(f"batch {B} must be a multiple of tile {tile}")
     return tile
+
+
+def _grid_specs(J, M, T, tile, grid, n_groups, grouped):
+    """Shared in/out BlockSpec plumbing for both kernels. ``grouped``: the
+    tables are (n*J8, M) stacks selected per grid step; otherwise one shared
+    full-array (J, M) table (whole-array blocks are exempt from the
+    8-sublane divisibility rule)."""
+    if grouped:
+        tpi = grid // n_groups  # tiles per instance (grid is instance-major)
+        tab_spec = pl.BlockSpec(
+            (_pad8(J), M), lambda g: (g // tpi, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        tab_spec = pl.BlockSpec(
+            (J, M), lambda g: (0, 0), memory_space=pltpu.VMEM
+        )
+    lane_spec = pl.BlockSpec(
+        (1, tile), lambda g: (0, g), memory_space=pltpu.VMEM
+    )
+    tb_spec = pl.BlockSpec(
+        (T, tile), lambda g: (0, g), memory_space=pltpu.VMEM
+    )
+
+    def field_spec(kind):
+        shp = _field_shape(kind, J, M, tile)
+        zero = (0,) * (len(shp) - 1)
+        return pl.BlockSpec(
+            shp, lambda g, z=zero: z + (g,), memory_space=pltpu.VMEM
+        )
+
+    state_specs = [field_spec(kind) for _, kind, _ in _FIELDS]
+    return tab_spec, lane_spec, tb_spec, state_specs
+
+
+_SLANE_CACHE: dict = {}
+
+
+def _static_lane(state: EnvState, n_groups: int):
+    """Frozen python-int instance bounds when the whole batch is ONE
+    unpadded instance (the fast path: bound comparisons become compile-time
+    constants); None otherwise. Cached by array identity — the host pulls
+    here cost relay round-trips on remote devices."""
+    if n_groups != 1:
+        return None
+    key = (id(state.num_jobs), id(state.sum_op))
+    hit = _SLANE_CACHE.get(key)
+    if hit is not None and hit[0] is state.num_jobs and hit[1] is state.sum_op:
+        return hit[2]
+    nj = np.asarray(state.num_jobs)
+    nm = np.asarray(state.num_machines)
+    if int(nj[0]) != state.jobs_pad or int(nm[0]) != state.machines_pad:
+        out = None
+    else:
+        out = (
+            ("nj", int(nj[0])),
+            ("nm", int(nm[0])),
+            ("mo", int(np.asarray(state.max_time_op).max())),
+            ("so", int(np.asarray(state.sum_op).max())),
+        )
+    if len(_SLANE_CACHE) > 16:
+        _SLANE_CACHE.clear()
+    _SLANE_CACHE[key] = (state.num_jobs, state.sum_op, out)
+    return out
 
 
 def rollout_driven(
@@ -761,57 +1039,77 @@ def rollout_driven(
     Finished lanes auto-reset exactly like ``vector.step_autoreset`` (the raw
     reward of the finishing step is recorded first). Returns (final state,
     (T, B) int32 raw rewards). Testing-oriented entry point: with the same
-    action stream it is stepwise-identical to the XLA engine.
+    action stream it is stepwise-identical to the XLA engine. Handles padded
+    and mixed-instance batches (lanes are regrouped instance-major under the
+    hood and results mapped back to the caller's lane order).
     """
-    J, M = _check_uniform(state)
+    _require_full_solution(state)
+    J, M = state.jobs_pad, state.machines_pad
     B = state.time.shape[0]
     T = int(num_steps)
     # the driven kernel is the differential-testing path, not the perf path:
     # it always runs int32 (the int16 layouts only pay off in the free-running
     # benchmark kernel, and int32 keeps this reference build maximally boring)
     vdt = jnp.int32
-    tile = _pick_tile(B, tile, vdt)
-    MAX_OP = int(np.asarray(state.max_time_op).ravel()[0])
-
-    final, rewards = _driven_core(state, jnp.asarray(actions, jnp.int32),
-                                  J, M, T, tile, MAX_OP, vdt, interpret)
+    tile = _pick_tile(B, tile, vdt, state)
+    perm, n_groups = _group_lanes(state, tile)
+    actions = jnp.asarray(actions, jnp.int32)
+    if perm is not None:
+        inv = np.argsort(perm)
+        state_g = _permute(state, perm)
+        actions_g = actions[:, perm]
+    else:
+        state_g, actions_g = state, actions
+    final, rewards = _driven_core(
+        state_g, actions_g, J, M, T, tile, n_groups,
+        _static_lane(state_g, n_groups), vdt, interpret
+    )
+    if perm is not None:
+        final = _permute(final, inv)
+        rewards = rewards[:, inv]
     return final, rewards
 
 
 @functools.partial(
-    jax.jit, static_argnames=("J", "M", "T", "tile", "MAX_OP", "vdt", "interpret")
+    jax.jit,
+    static_argnames=("J", "M", "T", "tile", "n_groups", "slane", "vdt",
+                     "interpret"),
 )
-def _driven_core(state, actions, J, M, T, tile, MAX_OP, vdt, interpret):
+def _driven_core(state, actions, J, M, T, tile, n_groups, slane, vdt,
+                 interpret):
     B = state.time.shape[0]
     grid = B // tile
-    tab = _tables(state)
+    grouped = slane is None
+    if grouped:
+        tab = _tables_stacked(state, n_groups)
+        nj, nm, mo, _ = _lane_consts(state)
+        lane_in, lane_specs = (nj, nm, mo), 3
+    else:
+        tab = _tables(state)
+        lane_in, lane_specs = (), 0
+
     lanes = _to_lanes(state, vdt)
-
-    tab_spec = pl.BlockSpec((J, M), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    act_spec = pl.BlockSpec((T, tile), lambda g: (0, g), memory_space=pltpu.VMEM)
-
-    def field_spec(kind):
-        shp = _field_shape(kind, J, M, tile)
-        zero = (0,) * (len(shp) - 1)
-        return pl.BlockSpec(shp, lambda g, z=zero: z + (g,), memory_space=pltpu.VMEM)
-
-    state_specs = [field_spec(kind) for _, kind, _ in _FIELDS]
+    tab_spec, lane_spec, tb_spec, state_specs = _grid_specs(
+        J, M, T, tile, grid, n_groups, grouped
+    )
     out_shapes = [jax.ShapeDtypeStruct((T, B), jnp.int32)] + [
         jax.ShapeDtypeStruct(
             _field_shape(kind, J, M, B), _storage_dtype(tag, vdt)
         )
         for _, kind, tag in _FIELDS
     ]
-    out_specs = [act_spec] + state_specs
+    out_specs = [tb_spec] + state_specs
 
     res = pl.pallas_call(
-        _driven_kernel(J, M, T, MAX_OP, vdt),
+        _driven_kernel(J, M, T, vdt,
+                       static_lane=dict(slane) if slane else None),
         grid=(grid,),
-        in_specs=[tab_spec] * 4 + [act_spec] + state_specs,
+        in_specs=[tab_spec] * 4 + [lane_spec] * lane_specs + [tb_spec]
+        + state_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(*tab, actions, *lanes)
+    )(*tab, *lane_in, actions, *lanes)
     rewards, final = res[0], res[1:]
     return _from_lanes(final, state), rewards
 
@@ -831,7 +1129,9 @@ def rollout_free(
     total_makespan, min_makespan, steps, identity_violations, total_return.
     ``identity_violations`` MUST be 0 — any completed episode violating the
     exact reward identity marks a simulator bug. Assumes ``state`` is freshly
-    reset (the identity accumulator starts at zero). ``with_solution=False``
+    reset (the identity accumulator starts at zero). Handles padded and
+    mixed-instance batches (lanes regrouped instance-major; the stats are
+    global reductions, so no unpermute is needed). ``with_solution=False``
     skips the per-step start-time-matrix writes for stats-only workloads
     (the XLA twin is ``vector.strip_solution`` + ``vector.rollout``).
 
@@ -841,62 +1141,68 @@ def rollout_free(
     ``prng_seed`` lowering), so the free-running path gets real differential
     test coverage (tests/test_pallas.py).
     """
-    J, M = _check_uniform(state)
+    _require_full_solution(state)
+    J, M = state.jobs_pad, state.machines_pad
     B = state.time.shape[0]
     T = int(num_steps)
     vdt = value_dtype(state)
-    tile = _pick_tile(B, tile, vdt)
-    MAX_OP = int(np.asarray(state.max_time_op).ravel()[0])
-    SUM_OP = int(np.asarray(state.sum_op).ravel()[0])
+    tile = _pick_tile(B, tile, vdt, state)
+    perm, n_groups = _group_lanes(state, tile)
     if bits is not None:
-        bits = jnp.asarray(bits).view(jnp.int32) if bits.dtype == jnp.uint32             else jnp.asarray(bits, jnp.int32)
+        bits = jnp.asarray(bits).view(jnp.int32) if bits.dtype == jnp.uint32 \
+            else jnp.asarray(bits, jnp.int32)
         if bits.shape != (T, B):
             raise ValueError(f"bits must be (T, B)=({T}, {B}), got {bits.shape}")
+    if perm is not None:
+        state = _permute(state, perm)
+        if bits is not None:
+            bits = bits[:, perm]
     return _free_core(
-        state, jnp.asarray(seed, jnp.int32), bits, J, M, T, tile, MAX_OP,
-        SUM_OP, vdt, bool(with_solution), interpret
+        state, jnp.asarray(seed, jnp.int32), bits, J, M, T, tile, n_groups,
+        _static_lane(state, n_groups), vdt, bool(with_solution), interpret
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "J", "M", "T", "tile", "MAX_OP", "SUM_OP", "vdt", "with_solution",
+        "J", "M", "T", "tile", "n_groups", "slane", "vdt", "with_solution",
         "interpret",
     ),
 )
-def _free_core(state, seed, bits, J, M, T, tile, MAX_OP, SUM_OP, vdt,
+def _free_core(state, seed, bits, J, M, T, tile, n_groups, slane, vdt,
                with_solution, interpret):
     B = state.time.shape[0]
     grid = B // tile
-    tab = _tables(state)
+    grouped = slane is None
+    if grouped:
+        tab = _tables_stacked(state, n_groups)
+        lane_in, n_lane = _lane_consts(state), 4
+    else:
+        tab = _tables(state)
+        lane_in, n_lane = (), 0
     lanes = _to_lanes(state, vdt)
     use_prng = bits is None
 
-    tab_spec = pl.BlockSpec((J, M), lambda g: (0, 0), memory_space=pltpu.VMEM)
-
-    def field_spec(kind):
-        shp = _field_shape(kind, J, M, tile)
-        zero = (0,) * (len(shp) - 1)
-        return pl.BlockSpec(shp, lambda g, z=zero: z + (g,), memory_space=pltpu.VMEM)
-
-    state_specs = [field_spec(kind) for _, kind, _ in _FIELDS]
+    tab_spec, lane_spec, tb_spec, state_specs = _grid_specs(
+        J, M, T, tile, grid, n_groups, grouped
+    )
     stat_spec = pl.BlockSpec(
         (1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
     )
     bits_in, bits_spec = (), ()
     if not use_prng:
         bits_in = (bits,)
-        bits_spec = (
-            pl.BlockSpec((T, tile), lambda g: (0, g), memory_space=pltpu.VMEM),
-        )
+        bits_spec = (tb_spec,)
 
     ints, flts = pl.pallas_call(
-        _free_kernel(J, M, T, MAX_OP, SUM_OP, vdt, with_solution, use_prng),
+        _free_kernel(J, M, T, vdt, with_solution, use_prng,
+                     static_lane=dict(slane) if slane else None),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + list(bits_spec)
         + [tab_spec] * 4
+        + [lane_spec] * n_lane
         + state_specs,
         out_specs=[stat_spec, stat_spec],
         out_shape=[
@@ -904,7 +1210,7 @@ def _free_core(state, seed, bits, J, M, T, tile, MAX_OP, SUM_OP, vdt,
             jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(seed.reshape(1), *bits_in, *tab, *lanes)
+    )(seed.reshape(1), *bits_in, *tab, *lane_in, *lanes)
     return {
         "episodes": jnp.sum(ints[:, 0, 0]),
         "total_makespan": jnp.sum(ints[:, 0, 1]),

@@ -149,10 +149,82 @@ def test_free_running_int16_mode_matches(monkeypatch):
     assert int(np.asarray(i32["identity_violations"])) == 0
 
 
-def test_rejects_ragged_batches():
+def test_driven_parity_padded_lanes():
+    """Padded job/machine rows must stay inert (engine parity under
+    padding, kernel edition)."""
+    spec = inst.random_instance(5, 4, duration_range=(1, 9), seed=11)
+    padded = inst.stack_instances([spec], jobs_pad=8, machines_pad=6)
+    state = vector.make_batch(padded, 4)
+    steps = 120
+    ref_state, actions, ref_raw = _xla_driven(state, steps, jax.random.key(2))
+    final, raw = pallas_rollout.rollout_driven(
+        state, jnp.asarray(actions), steps, tile=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(raw), ref_raw)
+    for name_, _, _ in pallas_rollout._FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(final, name_)),
+            np.asarray(getattr(ref_state, name_)),
+            err_msg=f"field {name_} diverged",
+        )
+
+
+def test_driven_parity_ragged_mixed_instances():
+    """Two different instances in one batch: lanes are regrouped
+    instance-major per tile under the hood and results mapped back to the
+    caller's interleaved lane order."""
+    specs = [
+        inst.random_instance(6, 5, duration_range=(1, 9), seed=3),
+        inst.random_instance(5, 4, duration_range=(1, 9), seed=4),
+    ]
+    state = vector.make_batch(inst.stack_instances(specs), 8)  # interleaved
+    steps = 100
+    ref_state, actions, ref_raw = _xla_driven(state, steps, jax.random.key(5))
+    final, raw = pallas_rollout.rollout_driven(
+        state, jnp.asarray(actions), steps, tile=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(raw), ref_raw)
+    for name_, _, _ in pallas_rollout._FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(final, name_)),
+            np.asarray(getattr(ref_state, name_)),
+            err_msg=f"field {name_} diverged",
+        )
+
+
+def test_free_running_ragged_matches_twin():
+    """Free mode over a mixed-instance batch with driven bits: global stats
+    equal the XLA twin's."""
+    specs = [
+        inst.random_instance(6, 5, duration_range=(1, 9), seed=3),
+        inst.random_instance(5, 4, duration_range=(1, 9), seed=4),
+    ]
+    B, T = 8, 150
+    state = vector.make_batch(inst.stack_instances(specs), B)
+    bits = np.random.default_rng(2).integers(
+        0, 2**31, size=(T, B), dtype=np.int32
+    )
+    s = state
+    stats = vector.RolloutStats.zero()
+    for t in range(T):
+        a = _bits_twin_policy(jnp.asarray(bits[t]), s)
+        s, _, stats = vector.step_autoreset(s, a, stats)
+    twin = jax.device_get(stats)
+    out = pallas_rollout.rollout_free(
+        state, T, tile=4, interpret=True, bits=jnp.asarray(bits)
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+    assert int(out["identity_violations"]) == 0
+    assert int(out["episodes"]) == int(twin.episodes) > 0
+    assert int(out["total_makespan"]) == int(twin.total_makespan)
+    assert int(out["min_makespan"]) == int(twin.min_makespan)
+
+
+def test_rejects_untileable_batches():
     specs = [inst.get_instance("ta01"), inst.get_instance("ta41")]
     state = vector.make_batch(inst.stack_instances(specs), 4)
     with pytest.raises(ValueError):
+        # 2 lanes per instance cannot fill a 4-lane tile
         pallas_rollout.rollout_driven(
             state, jnp.zeros((4, 4), jnp.int32), 4, tile=4, interpret=True
         )

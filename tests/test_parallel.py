@@ -80,6 +80,29 @@ def test_evaluate_policy_greedy_and_sampled():
     assert 0 < r3["best_sampled_makespan"] <= r3["avg_sampled_makespan"]
 
 
+def test_trained_policy_beats_best_dispatching_rule():
+    """The shipped trained checkpoint (models_data/ta01_policy.npz, REINFORCE
+    on TPU, 2300 updates) must keep beating the best greedy dispatching rule
+    on ta01 (~1500; SPT family). Greedy-argmax eval, fully deterministic."""
+    import os
+
+    from jssenv_tpu import checkpoint
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "models_data", "ta01_policy.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("trained checkpoint not present")
+    spec = inst.get_instance("ta01")
+    cfg = learner.LearnerConfig(hidden=(256, 256))
+    template = learner.init_train_state(
+        jax.random.key(0), vector.make_batch(spec, 2), cfg
+    ).params
+    params = checkpoint.load(path, template)
+    r = learner.evaluate_policy(params, spec, cfg)
+    assert r["greedy_makespan"] < 1500
+
+
 def test_learner_step_runs_and_updates():
     spec = inst.get_instance("ta01")
     config = learner.LearnerConfig(unroll_steps=4, hidden=(64, 64))
