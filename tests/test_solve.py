@@ -36,3 +36,14 @@ def test_solution_replays_to_claimed_makespan():
     # the replayed schedule's start times match the solver's artifact
     sol = np.asarray(state.solution)[: spec.num_jobs, : spec.num_machines]
     assert (sol == res.solution).all()
+
+
+def test_solve_with_refine_gap_bound_ta01():
+    """Fixed-seed regression: solve + critical-path annealing must land
+    within 8% of the ta01 optimum (1231). TPU runs land ~4-5%; this bound
+    holds for the reduced CPU-test budget too."""
+    spec = inst.get_instance("ta01")
+    res = solve.solve(spec, batch=256, sweeps=2, seed=0, refine_iters=600)
+    assert res.makespan <= 1231 * 1.08
+    makespan, _ = replay.replay_machine_order(spec, res.machine_order())
+    assert makespan == res.makespan
