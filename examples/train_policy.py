@@ -37,6 +37,14 @@ def main() -> None:
         mesh=m,
         log_every=max(1, updates // 20),
     )
+    # deterministic outcome metric, comparable 1:1 with the greedy rules
+    r = learner.evaluate_policy(
+        ts.params, inst.get_instance(instance), config, stochastic_lanes=63
+    )
+    print(
+        f"greedy-argmax makespan: {r['greedy_makespan']}  "
+        f"(best of 63 sampled lanes: {r['best_sampled_makespan']})"
+    )
     out = f"{instance}_policy.npz"
     checkpoint.save(out, ts.params)
     print(f"saved trained policy params to {out}")
