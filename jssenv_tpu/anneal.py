@@ -237,12 +237,13 @@ def _swap_adjacent(orders, msel, p):
 
 
 # Max annealing iterations per device call. One XLA program that runs for
-# many minutes gets the whole TPU server process killed on hosted/relayed
+# minutes gets the whole TPU server process killed on hosted/relayed
 # deployments (observed here: the axon relay's watchdog takes down the device
-# mid-run and every subsequent call fails UNAVAILABLE). Chunking costs one
-# dispatch (~0.1s) per _CHUNK iterations and changes nothing numerically —
-# the carry, RNG key and absolute-iteration temperature schedule flow through.
-_CHUNK = 256
+# mid-run — a 256-iteration chunk was still fatal at 30x20 — and every
+# subsequent call fails UNAVAILABLE). Chunking costs one dispatch (~0.1s)
+# per _CHUNK iterations and changes nothing numerically — the carry, RNG key
+# and absolute-iteration temperature schedule flow through.
+_CHUNK = 64
 
 
 def anneal(
