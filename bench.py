@@ -52,9 +52,10 @@ def main() -> None:
     # 16384 measured best on one v5e chip (docs/BENCHMARKS.md): launch
     # overheads amortize up to ~16k lanes, VMEM/HBM stay comfortable
     p.add_argument("--batch", type=int, default=int(os.environ.get("JSS_BENCH_BATCH", 16384)))
-    # 2048 steps keeps the timed section well above the remote-relay
-    # per-call latency (~0.1s) even at 60M+ steps/s on the pallas path
-    p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 2048)))
+    # the remote relay charges ~0.15s FIXED dispatch per call; 8192 steps
+    # makes the timed section ~1s so the report approaches the chip's
+    # intrinsic rate (~148M steps/s on ta01) instead of the dispatch tax
+    p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 8192)))
     p.add_argument("--warmup-steps", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--no-extra", action="store_true",
