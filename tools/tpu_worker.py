@@ -33,15 +33,15 @@ while True:
         with open(path) as f:
             src = f.read()
         os.rename(path, path + ".running")
-        buf = io.StringIO()
-        try:
-            with contextlib.redirect_stdout(buf):
-                exec(compile(src, name, "exec"), G)
-        except BaseException:
-            buf.write(traceback.format_exc())
         out = os.path.join(SPOOL, name.replace(".job.py", ".out"))
-        with open(out, "w") as f:
-            f.write(buf.getvalue())
+        # stream output as the job runs (long jobs used to buffer until the
+        # end, leaving multi-hour runs unobservable)
+        with open(out, "w", buffering=1) as f:
+            try:
+                with contextlib.redirect_stdout(f):
+                    exec(compile(src, name, "exec"), G)
+            except BaseException:
+                f.write(traceback.format_exc())
         os.rename(path + ".running", path + ".done")
         if G.pop("WORKER_STOP", False):
             sys.exit(0)
