@@ -69,15 +69,19 @@ def _sweep(tables, orders: jax.Array):
     B = orders.shape[0]
     j_iota = jnp.arange(J, dtype=jnp.int32)
     r_iota = jnp.arange(J, dtype=jnp.int32)[None, None, :]
+    m_iota3 = jnp.arange(M, dtype=jnp.int32)[None, None, :]
 
     op_pos_T = op_pos.T  # (M, J): position of machine m's op within job j
     dur_T = dur_by_machine.T  # (M, J)
 
-    def gather_mj(tab_T, h):
-        """tab_T (M, J) static; h (B, M) job index -> out[b, m] = tab_T[m, h]."""
-        return jnp.take_along_axis(
-            jnp.broadcast_to(tab_T, (B, M, J)), h[:, :, None], axis=2
-        )[:, :, 0]
+    # Every dynamic index below lowers as a ONE-HOT masked reduction over the
+    # tiny J/M axis, never take_along_axis: TPU gathers on these shapes are
+    # ~40x slower (the same lesson as core/ops.JSS_ENGINE_LOWERING) and were
+    # measured to dominate the whole annealing stage (123ms/iteration at
+    # B=1024 on v5e, vs microseconds of actual vector work).
+    def pick_j(vals3, oneh):
+        """vals3 (B|1, X, J) * oneh (B, X, J) -> (B, X) masked row-pick."""
+        return jnp.sum(jnp.where(oneh, vals3, 0), axis=2)
 
     def cond(c):
         ready, free, cnt, done, stuck, starts = c
@@ -85,22 +89,22 @@ def _sweep(tables, orders: jax.Array):
 
     def body(c):
         ready, free, cnt, done, stuck, starts = c
-        h = jnp.take_along_axis(orders, jnp.clip(cnt, 0, J - 1)[:, :, None], axis=2)[
-            :, :, 0
-        ]  # (B, M) next-in-order job per machine
+        cnt_oh = r_iota == cnt[:, :, None]  # (B, M, J) one-hot of the rank
+        h = pick_j(orders, cnt_oh)  # (B, M) next-in-order job per machine
         h = jnp.clip(h, 0, J - 1)
+        h_oh = j_iota[None, None, :] == h[:, :, None]  # (B, M, J) job one-hot
         valid = cnt < J
-        pos_h = gather_mj(op_pos_T, h)  # position of h's op on m within h
-        done_h = jnp.take_along_axis(done, h, axis=1)
+        pos_h = pick_j(op_pos_T[None], h_oh)  # position of h's op on m
+        done_h = pick_j(done[:, None, :], h_oh)  # (B, M)
         # commit machine m's head job iff that op is the job's current op
         # (its job predecessor is then final; the machine predecessor is
         # final by construction of the frontier)
         alloc = valid & ~stuck[:, None] & (pos_h == done_h)
-        ready_h = jnp.take_along_axis(ready, h, axis=1)
+        ready_h = pick_j(ready[:, None, :], h_oh)
         begin = jnp.maximum(ready_h, free)
-        end = begin + gather_mj(dur_T, h)
+        end = begin + pick_j(dur_T[None], h_oh)
         starts = jnp.where(
-            alloc[:, :, None] & (r_iota == cnt[:, :, None]),
+            alloc[:, :, None] & cnt_oh,
             begin[:, :, None],
             starts,
         )
@@ -108,17 +112,15 @@ def _sweep(tables, orders: jax.Array):
         cnt = cnt + alloc.astype(jnp.int32)
         # reflect the committed ops on the job side (each job has its current
         # op on exactly one machine, so no conflicts)
-        mj = jnp.take_along_axis(
-            jnp.broadcast_to(op_machine, (B, J, M)),
-            jnp.clip(done, 0, M - 1)[:, :, None],
-            axis=2,
-        )[:, :, 0]  # (B, J) machine of each job's current op
+        done_oh = m_iota3 == jnp.clip(done, 0, M - 1)[:, :, None]  # (B, J, M)
+        mj = jnp.sum(jnp.where(done_oh, op_machine[None], 0), axis=2)
+        mj_oh = m_iota3 == mj[:, :, None]  # (B, J, M) machine one-hot
         alloc_j = (
             (done < M)
-            & jnp.take_along_axis(alloc, mj, axis=1)
-            & (jnp.take_along_axis(h, mj, axis=1) == j_iota)
+            & (jnp.sum(jnp.where(mj_oh, alloc[:, None, :], False), axis=2) > 0)
+            & (jnp.sum(jnp.where(mj_oh, h[:, None, :], 0), axis=2) == j_iota)
         )
-        end_j = jnp.take_along_axis(end, mj, axis=1)
+        end_j = jnp.sum(jnp.where(mj_oh, end[:, None, :], 0), axis=2)
         ready = jnp.where(alloc_j, end_j, ready)
         done = done + alloc_j.astype(jnp.int32)
         progressed = jnp.any(alloc, axis=1)
