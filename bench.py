@@ -56,7 +56,6 @@ def main() -> None:
     # makes the timed section ~1s so the report approaches the chip's
     # intrinsic rate (~148M steps/s on ta01) instead of the dispatch tax
     p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 8192)))
-    p.add_argument("--warmup-steps", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--no-extra", action="store_true",
                    help="skip the ride-along BASELINE config #4 record")
@@ -139,10 +138,14 @@ def main() -> None:
                 0,
             )
 
+        # Warm up with the SAME step count as the timed runs: num_steps is a
+        # static arg in both the Pallas kernel and the XLA scan, so warming at
+        # a smaller count would leave the full-length executable to compile
+        # inside timed repeat 0 (ADVICE r3).
         t0 = time.time()
-        run(0, args.warmup_steps)
+        run(0, steps)
         warmup_s = time.time() - t0
-        log(f"compile+warmup ({engine_name}): {warmup_s:.1f}s")
+        log(f"compile+warmup ({engine_name}, {steps} steps): {warmup_s:.1f}s")
 
         best = 0.0
         for r in range(args.repeats):

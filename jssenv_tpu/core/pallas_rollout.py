@@ -38,8 +38,11 @@ see core/engine.py for the field-by-field citations). Two operating modes:
   (SURVEY.md §2.3 / jss_env.py:483-493) and violations are counted — an
   on-device end-to-end correctness monitor that costs nothing.
 
-Scope: all lanes must share ONE instance with no job/machine padding (the
-benchmark configs); ragged multi-instance batches take the XLA path.
+Scope: both modes handle padded and ragged multi-instance batches (lanes are
+grouped instance-major so each grid step streams one instance's tables; see
+the driven/free entry points below). Uniform single-instance batches take a
+statically specialized variant that preserves the benchmarked op order
+(``_fresh_static``; Mosaic scheduling is order-sensitive).
 
 The irregular primitives (gathers over J/M, per-machine segment reductions)
 are unrolled compile-time loops over the tiny static axes — pure VPU selects,
@@ -754,13 +757,17 @@ def _free_kernel(J, M, T, vdt, with_solution, use_prng=True,
         _, acc = jax.lax.fori_loop(0, T, body, (_widen_masks(s0, vdt), acc0))
         # Mosaic cannot store scalars to VMEM: assemble the (8, 128) stats
         # tile as one vector value and store it in a single write.
+        # NOTE: named lane_io, NOT lane — `lane` is the per-lane instance
+        # bounds dict closed over by sample()/_make_step above; shadowing it
+        # here would silently hand the iota to any refactor that defers
+        # tracing past this point (ADVICE r3).
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        lane_io = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
         def tile_of(values, dtype):
             out = jnp.zeros((8, 128), dtype)
             for i, v in enumerate(values):
-                out = jnp.where((sub == 0) & (lane == i), v, out)
+                out = jnp.where((sub == 0) & (lane_io == i), v, out)
             return out
 
         int_out[0] = tile_of(

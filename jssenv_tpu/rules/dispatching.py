@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jssenv_tpu.core import ops
 from jssenv_tpu.core.state import EnvState
 
 _I32_MAX = jnp.iinfo(jnp.int32).max
@@ -44,10 +45,15 @@ PriorityFn = Callable[[EnvState], jax.Array]
 
 
 def current_op_duration(state: EnvState) -> jax.Array:
-    """(J,) duration of each job's current op — SPT key (dispatching.py:105-106)."""
+    """(J,) duration of each job's current op — SPT key (dispatching.py:105-106).
+
+    Routed through ``core.ops.row_gather`` so the TPU lowering is a one-hot
+    masked reduction, not a serialized gather (the same rewrite that made the
+    anneal sweep 30x faster; raw ``take_along_axis`` under vmap dominated
+    solve()'s rollout stage wall time in round 3)."""
     mp = state.machines_pad
     op = jnp.clip(state.next_op, 0, mp - 1)
-    return jnp.take_along_axis(state.op_dur, op[:, None], axis=1)[:, 0].astype(jnp.int32)
+    return ops.row_gather(state.op_dur, op)
 
 
 def idle_since_last_op(state: EnvState) -> jax.Array:
@@ -57,14 +63,15 @@ def idle_since_last_op(state: EnvState) -> jax.Array:
 
 def remaining_work(state: EnvState) -> jax.Array:
     """(J,) total processing time of ops not yet started — MWR/LWR/CR key
-    (suffix sum over instance_matrix[j][todo:], dispatching.py:186-189)."""
-    cum = jnp.cumsum(state.op_dur, axis=1, dtype=jnp.int32)
-    consumed = jnp.take_along_axis(
-        jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum], axis=1),
-        jnp.clip(state.next_op, 0, state.machines_pad)[:, None],
-        axis=1,
-    )[:, 0]
-    return jnp.sum(state.op_dur, axis=1, dtype=jnp.int32) - consumed
+    (suffix sum over instance_matrix[j][todo:], dispatching.py:186-189).
+
+    Computed as a masked suffix reduction (ops with position >= next_op) —
+    pure VPU vector code, no cumsum + gather (TPU-slow under vmap)."""
+    mp = state.machines_pad
+    not_started = jnp.arange(mp, dtype=jnp.int32)[None, :] >= state.next_op[:, None]
+    return jnp.sum(
+        jnp.where(not_started, state.op_dur, 0), axis=1, dtype=jnp.int32
+    )
 
 
 def remaining_ops(state: EnvState) -> jax.Array:

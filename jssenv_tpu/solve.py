@@ -80,7 +80,10 @@ def _score_fn(num_rules: int):
         for _, kernel, minimize in _PORTFOLIO[:num_rules]:
             p = kernel(state).astype(jnp.float32)
             prios.append(-p if minimize else p)
-        p = jnp.stack(prios, 0)[rule_id]  # (J,) maximize-oriented key
+        # one-hot rule selection: a scalar-indexed stack[rule_id] under vmap
+        # lowers to a per-lane gather on TPU; the masked sum is pure VPU code
+        sel = rule_id == jnp.arange(num_rules, dtype=jnp.int32)
+        p = jnp.sum(jnp.where(sel[:, None], jnp.stack(prios, 0), 0.0), axis=0)
         legal = state.legal
         n = jnp.maximum(jnp.sum(legal), 1).astype(jnp.float32)
         mean = jnp.sum(jnp.where(legal, p, 0.0)) / n

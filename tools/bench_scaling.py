@@ -3,10 +3,11 @@
 
 Runs ``parallel.mesh.sharded_rollout`` on 1/2/4/8 devices with the global
 batch scaled proportionally (weak scaling: fixed lanes per device), printing
-throughput and per-device step time. On the CPU virtual mesh the absolute
-numbers are meaningless; the *shape* of the curve is the check — per-device
-step time should stay near-flat as devices double, since the env batch axis
-needs no cross-device communication until the final stats reduction.
+throughput and wall-clock time per vectorized step. On the CPU virtual mesh
+the absolute numbers are meaningless; the *shape* of the curve is the check —
+the per-step wall time (``step_us``) should stay near-flat as devices double
+(each device keeps a fixed lane count), since the env batch axis needs no
+cross-device communication until the final stats reduction.
 
 Usage (virtual 8-device CPU mesh):
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -58,13 +59,16 @@ def main() -> None:
             st = jax.device_get(st)
             dt = time.time() - t0
             best = max(best, batch * STEPS / dt)
-        per_dev_step_us = 1e6 * STEPS / (best / (LANES_PER_DEV))
+        # wall-clock per vectorized env step = dt / STEPS = batch / best;
+        # under perfect weak scaling this stays flat as devices double
+        # (each device keeps LANES_PER_DEV lanes) — ADVICE r3 fix
+        step_us = 1e6 * batch / best
         rows.append(
             {
                 "devices": n,
                 "batch": batch,
                 "steps_per_s": round(best),
-                "per_device_step_us": round(per_dev_step_us / STEPS, 2),
+                "step_us": round(step_us, 2),
                 "episodes": int(st.episodes),
             }
         )

@@ -53,7 +53,19 @@ def reference_makespan(name: str, order) -> int:
     env = cls({"instance_path": reference_instance_path(name)})
     env.reset()
     idx = [0] * env.machines
+    # progress guard: an infeasible/cyclic order would otherwise alternate
+    # acted=False / increase_time_step forever (ADVICE r3). Any feasible
+    # replay does at most jobs*machines steps plus one time-advance per
+    # distinct completion event (bounded by total work).
+    max_iters = env.jobs * env.machines * 2 + int(env.instance_matrix[..., 1].sum())
+    iters = 0
     while not env._is_done():
+        iters += 1
+        if iters > max_iters:
+            raise RuntimeError(
+                f"{name}: replay made no progress after {max_iters} iterations "
+                f"— stored order is not dispatchable"
+            )
         acted = False
         for m in range(env.machines):
             if idx[m] >= len(order[m]):
