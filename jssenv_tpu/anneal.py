@@ -175,16 +175,42 @@ def _tails(rtables, orders) -> jax.Array:
     return jnp.flip(starts_rev, axis=2)
 
 
-def _critical_pairs_from(tables, orders, mk, starts, tails) -> jax.Array:
-    """``critical_pairs`` with the tails already computed (see ``_tails``)."""
+def _critical_ops(tables, orders, mk, starts, tails) -> jax.Array:
+    """(B, M, J) bool: rank r's op is on a critical path
+    (head + dur + tail == makespan)."""
     _, _, dur_by_machine = tables
     B, M, J = orders.shape
     dur_rank = jnp.take_along_axis(
         jnp.broadcast_to(dur_by_machine.T, (B, M, J)), orders, axis=2
     )
-    crit = (starts + dur_rank + tails) == mk[:, None, None]
+    return (starts + dur_rank + tails) == mk[:, None, None]
+
+
+def _critical_pairs_from(tables, orders, mk, starts, tails) -> jax.Array:
+    """``critical_pairs`` with the tails already computed (see ``_tails``)."""
+    J = orders.shape[2]
+    crit = _critical_ops(tables, orders, mk, starts, tails)
     pair = crit & jnp.roll(crit, -1, axis=2)
     return pair.at[:, :, J - 1].set(False)
+
+
+def _block_bounds(crit: jax.Array):
+    """Critical-block boundaries per rank: for each (lane, machine, rank r)
+    with ``crit[r]`` True, ``s[r]``/``e[r]`` are the first/last rank of the
+    maximal run of consecutive critical ranks containing r (the
+    Nowicki-Smutnicki critical *block*). Pure cummax/cummin along the tiny
+    rank axis — no gathers. Values at non-critical ranks are meaningless.
+    """
+    B, M, J = crit.shape
+    pos = jnp.arange(J, dtype=jnp.int32)[None, None, :]
+    last_nc = jax.lax.cummax(jnp.where(crit, -1, pos), axis=2)  # last non-crit <= r
+    s = last_nc + 1
+    next_nc = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(crit, J, pos), axis=2), axis=2),
+        axis=2,
+    )  # first non-crit >= r (J when none)
+    e = next_nc - 1
+    return s, e
 
 
 def critical_pairs(tables, rtables, orders, mk, starts) -> jax.Array:
@@ -238,6 +264,32 @@ def _swap_adjacent(orders, msel, p):
     )
 
 
+def _move_insert(orders, msel, p, q, to_front):
+    """Remove one op and reinsert it at the far end of the rank segment
+    [p, q] on machine ``msel``, per lane (the Nowicki-Smutnicki block
+    *insertion* move; ``_swap_adjacent`` is the special case q == p+1).
+
+    ``to_front`` True: the op at rank q moves to rank p (segment rotates
+    right); False: the op at rank p moves to rank q (segment rotates left).
+    Pure roll/where vector code — no gathers, no scatters. The result may be
+    an infeasible order (precedence cycle); the sweep prices those INT32_MAX
+    and Metropolis rejects them.
+    """
+    B, M, J = orders.shape
+    row = jnp.take_along_axis(orders, msel[:, None, None], axis=1)[:, 0, :]  # (B, J)
+    pos = jnp.arange(J, dtype=jnp.int32)[None, :]
+    p_, q_ = p[:, None], q[:, None]
+    v_p = jnp.sum(jnp.where(pos == p_, row, 0), axis=1)
+    v_q = jnp.sum(jnp.where(pos == q_, row, 0), axis=1)
+    right = jnp.where(pos == p_, v_q[:, None],
+                      jnp.where((pos > p_) & (pos <= q_), jnp.roll(row, 1, axis=1), row))
+    left = jnp.where(pos == q_, v_p[:, None],
+                     jnp.where((pos >= p_) & (pos < q_), jnp.roll(row, -1, axis=1), row))
+    new_row = jnp.where(to_front[:, None], right, left)
+    on_m = jnp.arange(M, dtype=jnp.int32)[None, :, None] == msel[:, None, None]
+    return jnp.where(on_m, new_row[:, None, :], orders)
+
+
 # Max annealing iterations per device call. One XLA program that runs for
 # minutes gets the whole TPU server process killed on hosted/relayed
 # deployments (observed here: the axon relay's watchdog takes down the device
@@ -256,24 +308,34 @@ def anneal(
     t0_frac: float = 0.08,
     t1_frac: float = 0.004,
     p_random: float = 0.05,
+    p_insert: float = 0.4,
 ) -> Tuple[jax.Array, jax.Array]:
     """Refine an order batch by simulated annealing; returns
     (best_orders (B, M, J), best_makespans (B,)).
 
-    Moves: one adjacent swap per lane per iteration, drawn uniformly from the
-    lane's *critical pairs* (``critical_pairs`` — the only adjacent swaps that
-    can reduce the makespan); with probability ``p_random`` (or when no
-    critical pair exists) a uniformly random adjacent pair instead, for
-    ergodicity. Metropolis acceptance with a geometric temperature schedule
-    scaled per lane by the seed makespan (t0_frac/t1_frac of it). Runs in
-    bounded device-call chunks (see _CHUNK).
+    Moves (one per lane per iteration):
+
+    * with probability ``p_insert``: a critical-block *insertion* — a
+      uniformly sampled critical op moves to the front or back of its
+      critical block (Nowicki-Smutnicki neighborhood; ``_move_insert``).
+      Non-adjacent insertions can create precedence cycles; those price at
+      INT32_MAX in the sweep and Metropolis rejects them.
+    * otherwise: an adjacent swap drawn uniformly from the lane's *critical
+      pairs* (``critical_pairs`` — the only adjacent swaps that can reduce
+      the makespan, and always cycle-free);
+    * with probability ``p_random`` (or when no critical move exists) a
+      uniformly random adjacent pair instead, for ergodicity.
+
+    Metropolis acceptance with a geometric temperature schedule scaled per
+    lane by the seed makespan (t0_frac/t1_frac of it). Runs in bounded
+    device-call chunks (see _CHUNK).
     """
     carry = _anneal_init(tables, orders0, seed)
     for i0 in range(0, int(iters), _CHUNK):
         n = min(_CHUNK, int(iters) - i0)
         carry = _anneal_chunk(
             tables, carry, jnp.int32(i0), n, int(iters), t0_frac, t1_frac,
-            p_random,
+            p_random, p_insert,
         )
     _, _, (best_orders, best_mk, _, _), _ = carry
     return best_orders, best_mk
@@ -302,9 +364,9 @@ def _anneal_init(tables, orders0, seed):
     return rng, cur0, cur0, mk0
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
-                  p_random):
+                  p_random, p_insert=0.0):
     rng, cur, best, mk_seed = chunk_carry
     # per-lane temperature scale is pinned to the SEED makespans for the
     # whole run (chunking must not change the schedule)
@@ -316,8 +378,9 @@ def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
         rng, cur, best = carry
         orders, mk, starts, tails = cur
         best_orders, best_mk, best_starts, best_tails = best
-        rng, k1, k2, k3, k4, k5 = jax.random.split(rng, 6)
-        cand = _critical_pairs_from(tables, orders, mk, starts, tails)
+        rng, k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(rng, 9)
+        crit = _critical_ops(tables, orders, mk, starts, tails)
+        cand = (crit & jnp.roll(crit, -1, axis=2)).at[:, :, J - 1].set(False)
         idx, has = _sample_true(k1, cand.reshape(B, M * J))
         msel_c, p_c = idx // J, idx % J
         msel_r = jax.random.randint(k2, (B,), 0, M, dtype=jnp.int32)
@@ -325,7 +388,31 @@ def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
         use_crit = has & (jax.random.uniform(k4, (B,)) >= p_random)
         msel = jnp.where(use_crit, msel_c, msel_r)
         p = jnp.where(use_crit, p_c, p_r)
-        prop = _swap_adjacent(orders, msel, p)
+        prop_swap = _swap_adjacent(orders, msel, p)
+        # critical-block insertion proposal (see anneal() docstring)
+        s_blk, e_blk = _block_bounds(crit)
+        idx_i, has_i = _sample_true(k6, crit.reshape(B, M * J))
+        oh_i = jnp.arange(M * J, dtype=jnp.int32)[None, :] == idx_i[:, None]
+        s_i = jnp.sum(jnp.where(oh_i, s_blk.reshape(B, M * J), 0), axis=1)
+        e_i = jnp.sum(jnp.where(oh_i, e_blk.reshape(B, M * J), 0), axis=1)
+        msel_i, r_i = idx_i // J, idx_i % J
+        valid_front = r_i > s_i
+        valid_back = r_i < e_i
+        to_front = (jax.random.bernoulli(k7, 0.5, (B,)) & valid_front) | ~valid_back
+        prop_ins = _move_insert(
+            orders,
+            msel_i,
+            jnp.where(to_front, s_i, r_i),
+            jnp.where(to_front, r_i, e_i),
+            to_front,
+        )
+        use_ins = (
+            use_crit
+            & has_i
+            & (valid_front | valid_back)
+            & (jax.random.uniform(k8, (B,)) < p_insert)
+        )
+        prop = jnp.where(use_ins[:, None, None], prop_ins, prop_swap)
         mk_p, starts_p = _sweep(tables, prop)
         tails_p = _tails(rtables, prop)
         frac = (i0 + i).astype(jnp.float32) / float(max(iters - 1, 1))
