@@ -309,6 +309,7 @@ def anneal(
     t1_frac: float = 0.004,
     p_random: float = 0.05,
     p_insert: float = 0.4,
+    tails_refresh: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Refine an order batch by simulated annealing; returns
     (best_orders (B, M, J), best_makespans (B,)).
@@ -329,15 +330,22 @@ def anneal(
     Metropolis acceptance with a geometric temperature schedule scaled per
     lane by the seed makespan (t0_frac/t1_frac of it). Runs in bounded
     device-call chunks (see _CHUNK).
+
+    ``tails_refresh``: recompute op tail lengths (the reversed sweep behind
+    the criticality test) only every k-th iteration. Makespans and
+    acceptance stay EXACT (the forward sweep runs every iteration); only
+    the candidate-move set sees up-to-(k-1)-iteration-stale criticality.
+    k=1 is the exact neighborhood; k=4 cuts sweep cost ~1.6x for a
+    near-identical search (the candidate set drifts slowly).
     """
     carry = _anneal_init(tables, orders0, seed)
     for i0 in range(0, int(iters), _CHUNK):
         n = min(_CHUNK, int(iters) - i0)
         carry = _anneal_chunk(
             tables, carry, jnp.int32(i0), n, int(iters), t0_frac, t1_frac,
-            p_random, p_insert,
+            p_random, p_insert, tails_refresh,
         )
-    _, _, (best_orders, best_mk, _, _), _ = carry
+    _, _, (best_orders, best_mk, _), _ = carry
     return best_orders, best_mk
 
 
@@ -355,18 +363,17 @@ def _anneal_init(tables, orders0, seed):
     J = orders0.shape[2]
     M = orders0.shape[1]
     rtables = reverse_tables(tables)
-    # tails are carried through the loop: each iteration sweeps the proposal
-    # once forward and once reversed, and accepted lanes keep both results —
-    # criticality of the *current* state never needs a fresh sweep
+    # tails are carried through the loop and refreshed by a reversed sweep
+    # of the CURRENT orders every tails_refresh iterations (see anneal())
     tails0 = _tails(rtables, orders0)
     rng = jax.random.key(seed)
     cur0 = (orders0, mk0, starts0, tails0)
-    return rng, cur0, cur0, mk0
+    return rng, cur0, cur0[:3], mk0
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
-                  p_random, p_insert=0.0):
+                  p_random, p_insert=0.0, tails_refresh=1):
     rng, cur, best, mk_seed = chunk_carry
     # per-lane temperature scale is pinned to the SEED makespans for the
     # whole run (chunking must not change the schedule)
@@ -377,7 +384,7 @@ def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
     def body(i, carry):
         rng, cur, best = carry
         orders, mk, starts, tails = cur
-        best_orders, best_mk, best_starts, best_tails = best
+        best_orders, best_mk, best_starts = best
         rng, k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(rng, 9)
         crit = _critical_ops(tables, orders, mk, starts, tails)
         cand = (crit & jnp.roll(crit, -1, axis=2)).at[:, :, J - 1].set(False)
@@ -414,7 +421,6 @@ def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
         )
         prop = jnp.where(use_ins[:, None, None], prop_ins, prop_swap)
         mk_p, starts_p = _sweep(tables, prop)
-        tails_p = _tails(rtables, prop)
         frac = (i0 + i).astype(jnp.float32) / float(max(iters - 1, 1))
         temp = scale * (t0_frac * (t1_frac / t0_frac) ** frac)
         delta = (mk_p - mk).astype(jnp.float32)
@@ -425,13 +431,11 @@ def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
         orders = jnp.where(sel3, prop, orders)
         mk = jnp.where(accept, mk_p, mk)
         starts = jnp.where(sel3, starts_p, starts)
-        tails = jnp.where(sel3, tails_p, tails)
         better = mk_p < best_mk
         b3 = better[:, None, None]
         best_orders = jnp.where(b3, prop, best_orders)
         best_mk = jnp.where(better, mk_p, best_mk)
         best_starts = jnp.where(b3, starts_p, best_starts)
-        best_tails = jnp.where(b3, tails_p, best_tails)
         # intensification: every _RESTART_EVERY iters, lanes that drifted
         # >5% above their own best snap back to it
         drifted = (jnp.mod(i0 + i, _RESTART_EVERY) == _RESTART_EVERY - 1) & (
@@ -441,9 +445,20 @@ def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
         orders = jnp.where(d3, best_orders, orders)
         mk = jnp.where(drifted, best_mk, mk)
         starts = jnp.where(d3, best_starts, starts)
-        tails = jnp.where(d3, best_tails, tails)
+        # tails refresh: the reversed sweep runs on the CURRENT orders every
+        # tails_refresh-th iteration (stale in between — acceptance is still
+        # exact; only move sampling sees the staleness; see anneal())
+        if tails_refresh <= 1:
+            tails = _tails(rtables, orders)
+        else:
+            tails = jax.lax.cond(
+                jnp.mod(i0 + i, tails_refresh) == tails_refresh - 1,
+                lambda o: _tails(rtables, o),
+                lambda o: tails,
+                orders,
+            )
         return rng, (orders, mk, starts, tails), (
-            best_orders, best_mk, best_starts, best_tails)
+            best_orders, best_mk, best_starts)
 
     rng, cur, best = jax.lax.fori_loop(0, n, body, (rng, cur, best))
     return rng, cur, best, mk_seed

@@ -22,6 +22,19 @@ import jax
 import numpy as np
 
 
+def _is_key(x: Any) -> bool:
+    """True for typed PRNG key arrays (which numpy cannot serialize)."""
+    try:
+        return jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+    except (AttributeError, TypeError):
+        return False
+
+
+def _unkey(x: Any) -> Any:
+    """Typed PRNG keys -> raw uint32 key data (save side)."""
+    return jax.random.key_data(x) if _is_key(x) else x
+
+
 def _flatten_with_names(tree: Any):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     names = []
@@ -31,7 +44,12 @@ def _flatten_with_names(tree: Any):
 
 
 def save(path: str, tree: Any) -> None:
-    """Save a pytree of arrays as one compressed npz.
+    """Save a pytree of arrays as one compressed npz — atomically.
+
+    The file is written to ``<path>.tmp`` and renamed into place, so a crash
+    (or SIGKILL — tests/test_aux.py's fault-injection test) mid-save can
+    never leave a torn checkpoint at ``path``: either the old complete file
+    or the new complete file is there.
 
     ``numpy.savez`` appends ``.npz`` to extension-less paths; normalize here so
     ``save(p)`` / ``load(p)`` round-trip for any ``p``.
@@ -39,10 +57,13 @@ def save(path: str, tree: Any) -> None:
     if not path.endswith(".npz"):
         path = path + ".npz"
     names, leaves, _ = _flatten_with_names(tree)
-    arrays = {f"leaf_{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
+    arrays = {f"leaf_{i}": np.asarray(jax.device_get(_unkey(l))) for i, l in enumerate(leaves)}
     arrays["__names__"] = np.asarray(names)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, **arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    os.replace(tmp, path)
 
 
 def load(path: str, template: Any) -> Any:
@@ -61,7 +82,15 @@ def load(path: str, template: Any) -> Any:
         new_leaves = []
         for i, (tmpl, name) in enumerate(zip(leaves_t, names_t)):
             arr = z[f"leaf_{i}"]
-            if hasattr(tmpl, "sharding"):
+            if _is_key(tmpl):
+                # re-wrap raw key data with the template's PRNG impl
+                new_leaves.append(
+                    jax.random.wrap_key_data(
+                        jax.numpy.asarray(arr),
+                        impl=jax.random.key_impl(tmpl),
+                    )
+                )
+            elif hasattr(tmpl, "sharding"):
                 new_leaves.append(
                     jax.device_put(arr.astype(tmpl.dtype), tmpl.sharding)
                 )

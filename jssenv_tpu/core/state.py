@@ -286,3 +286,67 @@ class EnvState:
         obs = self.obs
         obs = obs.at[..., 0].set(self.legal.astype(obs.dtype))
         return {"real_obs": obs, "action_mask": self.action_mask()}
+
+    @property
+    def rich_obs(self) -> jax.Array:
+        """(..., J, 13) float32 — the reference's 7 columns plus 6 channels
+        aligned with the dispatching-rule priority kernels (a beyond-reference
+        feature set for the learner; the reference's 7 columns were designed
+        for its external RLlib setup, not for this policy). Extra columns:
+
+          7  current-op duration / max_time_op            (the SPT key)
+          8  remaining work / max_time_jobs               (MWR/LWR key)
+          9  remaining ops / num_machines                 (MOR/LOR key)
+          10 critical ratio (due-by-1.5x rule), clipped   (CR key)
+          11 busy time left on the job's needed machine / max_time_op
+          12 legal jobs competing for the same machine / num_jobs
+
+        All one-hot/masked reductions — no gathers (core/ops lesson).
+        """
+        f32 = jnp.float32
+        base = self.obs  # (..., J, 7), already padding-masked
+        mp = self.op_dur.shape[-1]
+        pos = jnp.arange(mp, dtype=jnp.int32)
+        next_op = jnp.asarray(self.next_op)
+        not_started = pos >= next_op[..., None]
+        dur = jnp.asarray(self.op_dur)
+        rem_work = jnp.sum(jnp.where(not_started, dur, 0), axis=-1).astype(f32)
+        cur_oh = pos == jnp.clip(next_op, 0, mp - 1)[..., None]
+        cur_dur = jnp.sum(jnp.where(cur_oh, dur, 0), axis=-1).astype(f32)
+        nm = jnp.asarray(self.num_machines)[..., None].astype(f32)
+        nj = jnp.asarray(self.num_jobs)[..., None].astype(f32)
+        max_op = jnp.asarray(self.max_time_op)[..., None].astype(f32)
+        max_jobs = jnp.asarray(self.max_time_jobs)[..., None].astype(f32)
+        total = jnp.sum(dur, axis=-1).astype(f32)
+        t = jnp.asarray(self.time)[..., None].astype(f32)
+        cr = jnp.clip(
+            (1.5 * total - t) / jnp.maximum(rem_work, 1.0), 0.0, 4.0
+        ) / 4.0
+        finished = next_op >= jnp.asarray(self.num_machines)[..., None]
+        rem_ops = jnp.where(
+            finished, 0.0, (nm - next_op.astype(f32)) / nm
+        )
+        needed = jnp.asarray(self.needed_machine)  # (..., J), -1 when finished
+        ohm = needed[..., None] == jnp.arange(self.machines_pad, dtype=jnp.int32)
+        busy = jnp.asarray(self.machine_busy_for)[..., None, :]  # (..., 1, M)
+        needed_busy = jnp.sum(jnp.where(ohm, busy, 0), axis=-1).astype(f32)
+        legal = jnp.asarray(self.legal)
+        same = (needed[..., :, None] == needed[..., None, :]) & (needed[..., None, :] >= 0)
+        contention = jnp.sum(
+            jnp.where(same & legal[..., None, :], 1, 0), axis=-1
+        ).astype(f32)
+        extra = jnp.stack(
+            [
+                cur_dur / max_op,
+                rem_work / max_jobs,
+                rem_ops,
+                cr,
+                needed_busy / max_op,
+                contention / nj,
+            ],
+            axis=-1,
+        )
+        valid = jnp.arange(self.jobs_pad, dtype=jnp.int32) < jnp.asarray(
+            self.num_jobs
+        )[..., None]
+        return jnp.concatenate([base, jnp.where(valid[..., None], extra, 0.0)], axis=-1)

@@ -46,6 +46,9 @@ class LearnerConfig:
     clip_eps: float = struct.field(pytree_node=False, default=0.2)
     ppo_epochs: int = struct.field(pytree_node=False, default=2)
     minibatches: int = struct.field(pytree_node=False, default=4)
+    # observation features: "reference" = the 7 reference columns;
+    # "rich" = those plus 6 rule-aligned channels (EnvState.rich_obs)
+    features: str = struct.field(pytree_node=False, default="reference")
 
 
 @struct.dataclass
@@ -63,6 +66,15 @@ def make_model(state: EnvState, config: LearnerConfig) -> MaskedPolicyNet:
     )
 
 
+def obs_batch(env_state: EnvState, config: LearnerConfig) -> jax.Array:
+    """(B, J, C) policy observation per config.features, with column 0 set to
+    the legal mask (as the reference's _get_current_state_representation)."""
+    if config.features == "rich":
+        obs = jax.vmap(lambda s: s.rich_obs)(env_state)
+        return obs.at[..., 0].set(env_state.legal.astype(obs.dtype))
+    return jax.vmap(lambda s: s.observation()["real_obs"])(env_state)
+
+
 def make_optimizer(config: LearnerConfig) -> optax.GradientTransformation:
     return optax.adam(config.learning_rate)
 
@@ -72,7 +84,7 @@ def init_train_state(
 ) -> TrainState:
     """env_state: batched (B, ...) EnvState."""
     model = make_model(env_state, config)
-    obs0 = env_state.obs[0]
+    obs0 = obs_batch(env_state, config)[0]
     mask0 = jax.vmap(EnvState.action_mask)(env_state)[0]
     params = model.init(rng, obs0, mask0)
     opt_state = make_optimizer(config).init(params)
@@ -91,7 +103,7 @@ def _policy_rollout(model, params, env_state, rng, config):
     def body(carry, _):
         env_state, rng, stats = carry
         rng, sub = jax.random.split(rng)
-        obs = jax.vmap(lambda s: s.observation()["real_obs"])(env_state)
+        obs = obs_batch(env_state, config)
         mask = jax.vmap(EnvState.action_mask)(env_state)
         logits, value = model.apply(params, obs, mask)
         action_idx, logp = sample_action(sub, logits)
@@ -321,7 +333,7 @@ def greedy_policy(params, config: LearnerConfig):
     def policy(rng, env_state):
         del rng
         model = make_model(env_state, config)
-        obs = jax.vmap(lambda s: s.observation()["real_obs"])(env_state)
+        obs = obs_batch(env_state, config)
         mask = jax.vmap(EnvState.action_mask)(env_state)
         logits, _ = model.apply(params, obs, mask)
         a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -354,7 +366,7 @@ def evaluate_policy(
     greedy = greedy_policy(params, config)
 
     def policy(rng, s):
-        obs = jax.vmap(lambda st: st.observation()["real_obs"])(s)
+        obs = obs_batch(s, config)
         mask = jax.vmap(EnvState.action_mask)(s)
         logits, _ = model.apply(params, obs, mask)
         a_samp, _ = sample_action(rng, logits)

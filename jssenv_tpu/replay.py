@@ -13,6 +13,7 @@ solution achieve?") and as the backbone of the golden parity tests.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -23,10 +24,68 @@ from jssenv_tpu.core.state import EnvState
 from jssenv_tpu.instances import InstanceSpec
 
 
+@dataclasses.dataclass
+class NativeReplayState:
+    """Final-state shim of the native-engine replay path: the EnvState
+    attributes replay consumers read (solution/time/done/any_busy)."""
+
+    solution: np.ndarray  # (J, M) op start times
+    time: int
+    done: bool
+    any_busy: bool
+
+
+def _replay_native(op_machine, op_dur, machine_order, strict):
+    """Replay through the scalar C++ engine twin (native/jss_engine.cpp) —
+    microseconds per step and zero device traffic, where the JAX path costs
+    one accelerator round-trip per step (prohibitive on remote/relayed
+    devices). Exact same semantics: the native engine is differentially
+    tested stepwise against core.engine (tests/test_native.py)."""
+    from jssenv_tpu import native
+
+    eng = native.NativeEngine(op_machine, op_dur)
+    nm = eng.machines
+    idx = [0] * nm
+    order = [list(machine_order[m]) for m in range(nm)]
+    done = False
+    while not done:
+        acted = False
+        for m in range(nm):
+            if done:
+                break
+            if eng.machine_legal[m] and idx[m] < len(order[m]):
+                job = order[m][idx[m]]
+                if eng.needed_machine[job] == m and eng.legal[job]:
+                    _, done = eng.step(job)
+                    idx[m] += 1
+                    acted = True
+        if not acted and not done:
+            if not eng.machine_busy_for.any():
+                if strict:
+                    raise RuntimeError(
+                        "replay deadlocked: machine order is infeasible "
+                        f"(progress per machine: {idx})"
+                    )
+                break
+            prev = eng.time
+            eng.advance_time()
+            if eng.time <= prev:  # pragma: no cover - defensive
+                raise RuntimeError("time failed to advance during replay")
+    mk = int(eng.time)
+    final = NativeReplayState(
+        solution=eng.solution.copy(),
+        time=mk,
+        done=bool(done),
+        any_busy=bool(eng.machine_busy_for.any()),
+    )
+    return mk, final
+
+
 def replay_machine_order(
     source: Union[EnvState, InstanceSpec],
     machine_order: Sequence[Sequence[int]],
     strict: bool = True,
+    backend: str = "jax",
 ) -> Tuple[int, EnvState]:
     """Replay a per-machine job-order schedule; returns (makespan, final state).
 
@@ -35,7 +94,28 @@ def replay_machine_order(
       machine_order: ``machine_order[m]`` lists the jobs machine ``m`` processes
         in order (one entry per job for a full schedule).
       strict: if True, raise if the replay deadlocks (order infeasible).
+      backend: "jax" (default — the path the golden parity tests certify),
+        "native" (scalar C++ twin; no device traffic), or "auto" (native when
+        the library loads, else jax). With "native"/"auto"-native the final
+        state is a :class:`NativeReplayState` shim, not a full EnvState.
     """
+    if backend not in ("jax", "native", "auto"):
+        raise ValueError(f"bad replay backend {backend!r}")
+    if backend in ("native", "auto"):
+        if isinstance(source, InstanceSpec):
+            om, od = source.op_machine, source.op_dur
+            nj, nm_ = source.num_jobs, source.num_machines
+        else:
+            nj = int(source.num_jobs)
+            nm_ = int(source.num_machines)
+            om = np.asarray(source.op_machine)[:nj, :nm_]
+            od = np.asarray(source.op_dur)[:nj, :nm_]
+        try:
+            return _replay_native(om, od, machine_order, strict)
+        except RuntimeError as e:
+            if "deadlock" in str(e) or backend == "native":
+                raise
+            # native lib unavailable — fall through to the jax path
     if isinstance(source, InstanceSpec):
         state = engine.state_from_spec(source)
     else:

@@ -178,8 +178,12 @@ def _refine(state, best_sol, rollout_result, iters, seed) -> SolveResult:
         return rollout_result  # refinement found nothing better
     order = np.asarray(best_orders[lane]).tolist()
     nj, nm = rollout_result.solution.shape
+    # native replay: certification is a ~J*M-step sequential drive — on a
+    # remote/relayed accelerator the per-step round-trips cost minutes; the
+    # differentially-tested C++ twin does it in microseconds (backend="auto"
+    # falls back to the jax path when the library is unavailable)
     certified_mk, final = replay.replay_machine_order(
-        engine.init_state(op_machine, op_dur, nj, nm), order
+        engine.init_state(op_machine, op_dur, nj, nm), order, backend="auto"
     )
     if certified_mk >= rollout_result.makespan:
         return rollout_result

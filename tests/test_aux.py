@@ -97,3 +97,55 @@ def test_multihost_ragged_tiling():
     iset = inst.get_instance_set(["ta01", "ta41"])
     state = multihost.host_sharded_batch(iset, 8)
     assert list(np.asarray(state.num_jobs)) == [15, 30] * 4
+
+
+def test_fault_injection_kill_and_resume(tmp_path):
+    """Failure-detection/elastic-recovery (SURVEY §5.3): SIGKILL a training
+    run mid-stream, restart it from its checkpoint, and require the final
+    parameters to be BITWISE identical to an uninterrupted run.
+
+    The child (tests/_fault_train_child.py) checkpoints the full TrainState
+    (params, optimizer, env state, PRNG key, step counter) after every
+    update; checkpoint.save is atomic (write + rename), so the kill can land
+    mid-save without corrupting the resume point.
+    """
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    child = os.path.join(os.path.dirname(__file__), "_fault_train_child.py")
+    n_updates = 6
+
+    def run_to_completion(ckpt):
+        out = subprocess.run(
+            [sys.executable, child, ckpt, str(n_updates)],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr
+        digests = [l.split()[1] for l in out.stdout.splitlines() if l.startswith("digest ")]
+        return digests[-1] if digests else None
+
+    # reference: uninterrupted run
+    ref_digest = run_to_completion(str(tmp_path / "ref.npz"))
+    assert ref_digest
+
+    # faulted run: SIGKILL after the 2nd update's checkpoint lands
+    ckpt = str(tmp_path / "faulted.npz")
+    proc = subprocess.Popen(
+        [sys.executable, child, ckpt, str(n_updates)],
+        stdout=subprocess.PIPE, text=True,
+    )
+    seen = 0
+    for line in proc.stdout:
+        if line.startswith("upd "):
+            seen = int(line.split()[1])
+            if seen >= 2:
+                proc.kill()  # SIGKILL: no cleanup, no atexit
+                break
+    proc.wait(timeout=60)
+    assert proc.returncode != 0 and 2 <= seen < n_updates
+
+    # resume: same command picks the checkpoint up and finishes
+    resumed_digest = run_to_completion(ckpt)
+    assert resumed_digest == ref_digest

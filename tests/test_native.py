@@ -170,3 +170,24 @@ def test_rules_identical_between_engines():
         _, ms_n = rule.run_episode(env_n)
         _, ms_j = rule.run_episode(env_j)
         assert ms_n == ms_j, name
+
+
+def test_native_replay_matches_jax_replay():
+    """replay_machine_order backend='native' (the certification fast path
+    solve._refine uses) must reproduce the jax path exactly: same makespan,
+    same start-time matrix, terminal invariants."""
+    import json
+    import os
+
+    from jssenv_tpu import instances as inst, replay
+
+    data = os.path.join(os.path.dirname(__file__), "data", "golden_solutions.json")
+    with open(data) as f:
+        entry = json.load(f)["ta01"]
+    spec = inst.get_instance("ta01")
+    mk_j, st_j = replay.replay_machine_order(spec, entry["machine_order"], backend="jax")
+    mk_n, st_n = replay.replay_machine_order(spec, entry["machine_order"], backend="native")
+    assert mk_j == mk_n == entry["optimum"]
+    sol_j = np.asarray(st_j.solution)[: spec.num_jobs, : spec.num_machines]
+    assert (sol_j == st_n.solution).all()
+    assert st_n.done and not st_n.any_busy

@@ -69,3 +69,32 @@ def test_render_and_gif(tmp_path):
     out = tmp_path / "ta01.gif"
     gantt.schedule_frames_gif(frames, str(out))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_plotly_create_gantt_branch():
+    """The reference's actual renderer (plotly.figure_factory.create_gantt,
+    reference jss_env.py:682-689): grouped task rows, reversed y-axis.
+    Runs wherever the [render] extra installed plotly (CI); skips otherwise."""
+    # NOTE: the reference-parity tests stub plotly into sys.modules, so a
+    # bare importorskip can "succeed" on the stub mid-suite — require the
+    # real create_gantt to be present.
+    ff = pytest.importorskip("plotly.figure_factory")
+    if not callable(getattr(ff, "create_gantt", None)):
+        pytest.skip("plotly is stubbed (no real create_gantt)")
+    pytest.importorskip("pandas")
+    env = JssEnv({"instance_path": "ta01"})
+    env.reset()
+    env.step(0)
+    env.step(3)
+    fig = gantt.render_schedule(
+        env.solution,
+        env.instance_matrix[..., 0],
+        env.instance_matrix[..., 1],
+        backend="plotly",
+    )
+    assert fig is not None and len(fig.data) > 0
+    # reference reverses the y-axis (jss_env.py:691)
+    assert fig.layout.yaxis.autorange == "reversed"
+    # group_tasks=True: one y row per task; both stepped jobs appear
+    ticktext = list(fig.layout.yaxis.ticktext or [])
+    assert "Job 0" in ticktext and "Job 3" in ticktext
