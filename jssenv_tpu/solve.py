@@ -57,6 +57,9 @@ class SolveResult:
     solution: np.ndarray  # (num_jobs, num_machines) start time of op k of job j
     episodes: int  # completed episodes searched
     op_machine: np.ndarray  # (num_jobs, num_machines) machine of op k (static)
+    # wall seconds per stage: rollout (incl. any compile), refine (annealing),
+    # certify (exact-engine replay of the refined winner)
+    timings: dict = dataclasses.field(default_factory=dict)
 
     def machine_order(self) -> list:
         """Per-machine job order (the reference golden-solution format):
@@ -128,11 +131,14 @@ def solve(
             "solve() searches one instance; loop over the set and call it "
             "per instance (makespans of different instances are not comparable)"
         )
+    import time
+
     state = vector.make_batch(source, batch)
     J, M = int(np.asarray(state.num_jobs).max()), int(
         np.asarray(state.num_machines).max()
     )
     steps = J * M * int(sweeps) + 8  # no-op-free episodes take J*M agent steps
+    t0 = time.time()
     best_mk, best_sol, episodes = _solve_scan(
         state,
         jnp.asarray(seed, jnp.uint32),
@@ -141,6 +147,7 @@ def solve(
         int(min(num_rules, len(_PORTFOLIO))),
     )
     best_mk = np.asarray(best_mk)
+    rollout_s = time.time() - t0
     lane = int(np.argmin(best_mk))
     if best_mk[lane] == np.iinfo(np.int32).max:
         raise RuntimeError("no episode completed; increase sweeps or batch")
@@ -153,6 +160,7 @@ def solve(
         solution=sol[:nj, :nm],
         episodes=int(np.asarray(episodes)),
         op_machine=om.astype(np.int32)[:nj, :nm],
+        timings={"rollout_s": round(rollout_s, 2)},
     )
     if refine_iters > 0:
         result = _refine(state, best_sol, result, int(refine_iters), seed)
@@ -162,8 +170,11 @@ def solve(
 def _refine(state, best_sol, rollout_result, iters, seed) -> SolveResult:
     """Anneal every lane's best rollout schedule in order space and certify
     the refined winner through the exact engine (see module docstring)."""
+    import time
+
     from jssenv_tpu import anneal, replay
 
+    t0 = time.time()
     op_machine = jnp.asarray(state.op_machine[0], jnp.int32)
     op_dur = jnp.asarray(state.op_dur[0], jnp.int32)
     op_pos = jnp.asarray(state.op_pos[0], jnp.int32)
@@ -173,9 +184,11 @@ def _refine(state, best_sol, rollout_result, iters, seed) -> SolveResult:
         tables, orders0, jnp.asarray(seed, jnp.uint32) + 1, iters
     )
     best_mk = np.asarray(best_mk)
+    rollout_result.timings["refine_s"] = round(time.time() - t0, 2)
     lane = int(np.argmin(best_mk))
     if int(best_mk[lane]) >= rollout_result.makespan:
         return rollout_result  # refinement found nothing better
+    t0 = time.time()
     order = np.asarray(best_orders[lane]).tolist()
     nj, nm = rollout_result.solution.shape
     # native replay: certification is a ~J*M-step sequential drive — on a
@@ -185,6 +198,7 @@ def _refine(state, best_sol, rollout_result, iters, seed) -> SolveResult:
     certified_mk, final = replay.replay_machine_order(
         engine.init_state(op_machine, op_dur, nj, nm), order, backend="auto"
     )
+    rollout_result.timings["certify_s"] = round(time.time() - t0, 2)
     if certified_mk >= rollout_result.makespan:
         return rollout_result
     return SolveResult(
@@ -192,6 +206,7 @@ def _refine(state, best_sol, rollout_result, iters, seed) -> SolveResult:
         solution=np.asarray(final.solution)[:nj, :nm],
         episodes=rollout_result.episodes,
         op_machine=rollout_result.op_machine,
+        timings=rollout_result.timings,
     )
 
 
