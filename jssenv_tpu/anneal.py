@@ -34,6 +34,7 @@ schedules of their orders.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -42,6 +43,13 @@ import numpy as np
 
 _I32_MAX = jnp.iinfo(jnp.int32).max
 _RESTART_EVERY = 250  # anneal intensification period (iterations)
+
+# Frontier-sweep body passes per while_loop iteration. Each while_loop trip
+# on TPU ends in a scalar-core condition check that stalls the vector
+# pipeline; the sweep body is IDEMPOTENT once a lane converges or stalls, so
+# running K passes per condition check is semantically identical (at most
+# K-1 wasted passes at the end) and amortizes the per-trip stall.
+_SWEEP_UNROLL = max(1, int(os.environ.get("JSS_SWEEP_UNROLL", "4")))
 
 
 def schedule_tables(op_machine, op_dur, op_pos) -> Tuple[jax.Array, ...]:
@@ -127,6 +135,11 @@ def _sweep(tables, orders: jax.Array):
         stuck = stuck | (~progressed & (jnp.sum(cnt, axis=1) < J * M))
         return ready, free, cnt, done, stuck, starts
 
+    def body_unrolled(c):
+        for _ in range(_SWEEP_UNROLL):
+            c = body(c)
+        return c
+
     init = (
         jnp.zeros((B, J), jnp.int32),
         jnp.zeros((B, M), jnp.int32),
@@ -135,7 +148,9 @@ def _sweep(tables, orders: jax.Array):
         jnp.zeros((B,), jnp.bool_),
         jnp.zeros((B, M, J), jnp.int32),
     )
-    ready, free, cnt, done, stuck, starts = jax.lax.while_loop(cond, body, init)
+    ready, free, cnt, done, stuck, starts = jax.lax.while_loop(
+        cond, body_unrolled, init
+    )
     complete = jnp.sum(cnt, axis=1) == J * M
     return jnp.where(complete, jnp.max(ready, axis=1), _I32_MAX), starts
 
