@@ -105,16 +105,24 @@ def solve(
     num_rules: int = 5,
     seed: Union[int, jax.Array] = 0,
     refine_iters: int = 0,
+    anneal_t0: float = 0.08,
+    anneal_t1: float = 0.004,
 ) -> SolveResult:
     """Search for a low-makespan schedule with ``batch`` parallel noisy
     rollouts for ``sweeps`` episodes each, fully on device.
 
     ``refine_iters > 0`` adds a second stage: every lane's best rollout
     schedule seeds a simulated-annealing chain in schedule space
-    (jssenv_tpu.anneal — adjacent-swap moves, DAG-longest-path evaluation),
-    and the refined winner is CERTIFIED by replaying its machine order
-    through the exact environment semantics; the certified makespan is
-    returned.
+    (jssenv_tpu.anneal — critical-pair swaps + optional block insertions,
+    DAG-longest-path evaluation), and the refined winner is CERTIFIED by
+    replaying its machine order through the exact environment semantics
+    (native C++ twin when available); the certified makespan is returned.
+
+    ``anneal_t0``/``anneal_t1`` set the annealing temperature schedule as
+    fractions of the seed makespan. The defaults suit short refinements
+    (<=2000 iters); for big-budget 30x20 runs a much cooler schedule wins —
+    0.015/0.001 measured ~2.5% of gap better than the default at 12000
+    iters (docs/BENCHMARKS.md round-4 solver notes).
 
     The first ``num_rules`` lanes always run their rule pure-greedy
     (temperature 0), so the result is never worse than the best portfolio
@@ -163,11 +171,15 @@ def solve(
         timings={"rollout_s": round(rollout_s, 2)},
     )
     if refine_iters > 0:
-        result = _refine(state, best_sol, result, int(refine_iters), seed)
+        result = _refine(
+            state, best_sol, result, int(refine_iters), seed,
+            float(anneal_t0), float(anneal_t1),
+        )
     return result
 
 
-def _refine(state, best_sol, rollout_result, iters, seed) -> SolveResult:
+def _refine(state, best_sol, rollout_result, iters, seed,
+            t0_frac=0.08, t1_frac=0.004) -> SolveResult:
     """Anneal every lane's best rollout schedule in order space and certify
     the refined winner through the exact engine (see module docstring)."""
     import time
@@ -181,7 +193,8 @@ def _refine(state, best_sol, rollout_result, iters, seed) -> SolveResult:
     tables = anneal.schedule_tables(op_machine, op_dur, op_pos)
     orders0 = anneal.orders_from_solutions(op_pos, jnp.asarray(best_sol))
     best_orders, best_mk = anneal.anneal(
-        tables, orders0, jnp.asarray(seed, jnp.uint32) + 1, iters
+        tables, orders0, jnp.asarray(seed, jnp.uint32) + 1, iters,
+        t0_frac=t0_frac, t1_frac=t1_frac,
     )
     best_mk = np.asarray(best_mk)
     rollout_result.timings["refine_s"] = round(time.time() - t0, 2)
