@@ -5,13 +5,14 @@ Where ``solve`` searches in *policy* space (noisy dispatching rollouts, one
 env step per allocation), this module searches in *schedule* space: a
 candidate is a per-machine job order, its makespan is the longest path of the
 induced precedence DAG, and thousands of annealing chains run in lockstep on
-device with adjacent-pair swap moves drawn from the *critical-path
-neighborhood*: ops are marked critical via a forward sweep (heads) plus a
-sweep of the time-reversed instance (tails) — critical iff
+device with moves drawn from the *critical-path neighborhood*: ops are
+marked critical via a forward sweep (heads) plus a sweep of the
+time-reversed instance (tails) — critical iff
 ``head + dur + tail == makespan`` — and proposals swap a uniformly sampled
 machine-adjacent critical pair (the only adjacent swaps that can reduce the
 makespan; Nowicki & Smutnicki's candidate set), with a small random-swap mix
-for ergodicity.
+for ergodicity and an optional critical-block *insertion* move
+(``p_insert``; see ``anneal()``).
 
 The evaluator (``evaluate_orders``) computes the semi-active schedule of an
 order batch by order-driven frontier sweeps: every machine tries to start its
@@ -323,7 +324,7 @@ def anneal(
     t0_frac: float = 0.08,
     t1_frac: float = 0.004,
     p_random: float = 0.05,
-    p_insert: float = 0.4,
+    p_insert: float = 0.0,
     tails_refresh: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Refine an order batch by simulated annealing; returns
@@ -335,7 +336,11 @@ def anneal(
       uniformly sampled critical op moves to the front or back of its
       critical block (Nowicki-Smutnicki neighborhood; ``_move_insert``).
       Non-adjacent insertions can create precedence cycles; those price at
-      INT32_MAX in the sweep and Metropolis rejects them.
+      INT32_MAX in the sweep and Metropolis rejects them. Default OFF: a
+      round-4 A/B on ta41 at 4000 iterations measured p_insert=0.4 ~1%
+      WORSE than pure pair swaps (2295/2314 vs 2275/2290 across seeds) —
+      the long-range relocations disrupt more than they repair at these
+      budgets; the hook stays for schedules/budgets where they pay off.
     * otherwise: an adjacent swap drawn uniformly from the lane's *critical
       pairs* (``critical_pairs`` — the only adjacent swaps that can reduce
       the makespan, and always cycle-free);
