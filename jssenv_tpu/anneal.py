@@ -49,8 +49,11 @@ _RESTART_EVERY = 250  # anneal intensification period (iterations)
 # on TPU ends in a scalar-core condition check that stalls the vector
 # pipeline; the sweep body is IDEMPOTENT once a lane converges or stalls, so
 # running K passes per condition check is semantically identical (at most
-# K-1 wasted passes at the end) and amortizes the per-trip stall.
-_SWEEP_UNROLL = max(1, int(os.environ.get("JSS_SWEEP_UNROLL", "4")))
+# K-1 wasted passes at the end; verified bitwise-equal for K=1 vs 4).
+# Default 1: the K=4 build has not shown an on-chip win yet (a B=4096+K=4
+# run measured ~3.5x SLOWER per iteration than B=1024+K=1 — confounded,
+# unresolved), so the knob stays opt-in until a clean A/B lands.
+_SWEEP_UNROLL = max(1, int(os.environ.get("JSS_SWEEP_UNROLL", "1")))
 
 
 def schedule_tables(op_machine, op_dur, op_pos) -> Tuple[jax.Array, ...]:

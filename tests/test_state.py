@@ -81,3 +81,32 @@ def test_reward_identity():
         done = bool(tr.done)
     makespan = int(state.time)
     assert total_raw == 2 * spec.sum_op - spec.num_machines * makespan
+
+
+def test_rich_obs_shape_bounds_and_padding():
+    """rich_obs: 13 columns (7 reference + 6 rule-aligned), bounded values,
+    zeros on padded job rows, and the first 7 columns equal to obs."""
+    import jax
+    import jax.numpy as jnp
+
+    from jssenv_tpu import vector
+
+    padded = inst.stack_instances(
+        [inst.get_instance("ta01")], jobs_pad=20, machines_pad=18
+    )
+    state = vector.make_batch(padded, 3)
+    step = jax.jit(jax.vmap(engine.step))
+    for a in [0, 5, 9]:
+        state, _ = step(state, jnp.full((3,), a, jnp.int32))
+    rich = np.asarray(jax.vmap(lambda s: s.rich_obs)(state))
+    base = np.asarray(jax.vmap(lambda s: s.obs)(state))
+    assert rich.shape == (3, 20, 13)
+    np.testing.assert_allclose(rich[..., :7], base, atol=0)
+    assert np.isfinite(rich).all()
+    # normalized channels stay in sane ranges
+    assert (rich[..., 7] <= 1.0 + 1e-6).all() and (rich[..., 7] >= 0).all()  # cur dur
+    assert (rich[..., 9] <= 1.0 + 1e-6).all()  # remaining ops fraction
+    assert (rich[..., 10] <= 1.0 + 1e-6).all()  # clipped critical ratio
+    assert (rich[..., 12] <= 1.0 + 1e-6).all()  # contention fraction
+    # padded job rows carry zeros everywhere
+    assert (rich[:, 15:, :] == 0).all()
