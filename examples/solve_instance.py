@@ -43,6 +43,13 @@ def main() -> int:
     p.add_argument("--refine", type=int, default=3000,
                    help="annealing iterations in the second stage (0 = off)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--anneal-t0", type=float, default=0.08,
+                   help="annealing start temperature (fraction of seed "
+                        "makespan); big-budget 30x20 runs do ~2.5%% better "
+                        "at 0.015 (docs/BENCHMARKS.md)")
+    p.add_argument("--anneal-t1", type=float, default=0.004,
+                   help="annealing end temperature fraction (0.001 for "
+                        "big-budget 30x20 runs)")
     p.add_argument("--gantt", default=None,
                    help="save a Gantt chart of the best schedule to this path")
     args = p.parse_args()
@@ -60,10 +67,14 @@ def main() -> int:
         sweeps=args.sweeps,
         seed=args.seed,
         refine_iters=args.refine,
+        anneal_t0=args.anneal_t0,
+        anneal_t1=args.anneal_t1,
     )
     dt = time.time() - t0
 
     line = f"best certified makespan: {res.makespan}  ({res.episodes} episodes searched, {dt:.1f}s)"
+    if res.timings:
+        line += f"  stages={res.timings}"
     opt = BEST_KNOWN.get(spec.name)
     if opt is not None:
         line += f"  [best known {opt}, gap {100.0 * (res.makespan - opt) / opt:.2f}%]"
