@@ -200,3 +200,28 @@ def test_training_completes_episodes_and_learns():
     last_avg = history[-1]["avg_makespan"]
     assert np.isfinite(last_avg)
     assert 1231 <= last_avg <= 1900
+
+
+def test_rich_feature_policy_breaks_1400():
+    """The round-4 checkpoint (models_data/ta01_policy_rich.npz: rich
+    features + full-episode 288-step unrolls, REINFORCE) must stay under
+    1400 on ta01 — measured greedy-argmax 1347 (optimum 1231, best greedy
+    rule ~1500, round-3 checkpoint 1457). Deterministic eval; the exact
+    value reproduces cross-platform."""
+    import os
+
+    from jssenv_tpu import checkpoint
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "models_data", "ta01_policy_rich.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("trained checkpoint not present")
+    spec = inst.get_instance("ta01")
+    cfg = learner.LearnerConfig(hidden=(256, 256), features="rich")
+    template = learner.init_train_state(
+        jax.random.key(0), vector.make_batch(spec, 2), cfg
+    ).params
+    params = checkpoint.load(path, template)
+    r = learner.evaluate_policy(params, spec, cfg)
+    assert r["greedy_makespan"] < 1400
