@@ -45,14 +45,15 @@ import numpy as np
 _I32_MAX = jnp.iinfo(jnp.int32).max
 _RESTART_EVERY = 250  # anneal intensification period (iterations)
 
-# Frontier-sweep body passes per while_loop iteration. Each while_loop trip
-# on TPU ends in a scalar-core condition check that stalls the vector
-# pipeline; the sweep body is IDEMPOTENT once a lane converges or stalls, so
-# running K passes per condition check is semantically identical (at most
-# K-1 wasted passes at the end; verified bitwise-equal for K=1 vs 4).
-# Default 1: the K=4 build has not shown an on-chip win yet (a B=4096+K=4
-# run measured ~3.5x SLOWER per iteration than B=1024+K=1 — confounded,
-# unresolved), so the knob stays opt-in until a clean A/B lands.
+# Frontier-sweep body passes per while_loop iteration. The body is
+# IDEMPOTENT once a lane converges or stalls, so K passes per condition
+# check are semantically identical (verified bitwise-equal for K=1 vs 4).
+# A clean on-chip A/B (ta41, B=1024, 2000 anneal iters) measured K=4 at
+# 37.9ms/iter vs K=1 at 37.2 — the while_loop condition check is NOT a
+# material cost on v5e, so the default stays 1; the env knob remains for
+# other backends/toolchains. (Anneal iteration cost DOES grow ~linearly
+# with batch beyond ~1024 lanes and up to ~5x with schedule quality — the
+# DAG gets deeper as schedules get better.)
 _SWEEP_UNROLL = max(1, int(os.environ.get("JSS_SWEEP_UNROLL", "1")))
 
 
