@@ -225,3 +225,27 @@ def test_rich_feature_policy_breaks_1400():
     params = checkpoint.load(path, template)
     r = learner.evaluate_policy(params, spec, cfg)
     assert r["greedy_makespan"] < 1400
+
+
+def test_ta41_policy_beats_best_rule():
+    """Round-4 hard-family checkpoint (models_data/ta41_policy_rich.npz:
+    rich features, full-episode 640-step unrolls on the 30x20 ta41): greedy
+    2415 — beats the best greedy dispatching rule on ta41 (SPT, 2499).
+    Deterministic eval; exact value reproduces cross-platform."""
+    import os
+
+    from jssenv_tpu import checkpoint
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "models_data", "ta41_policy_rich.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("trained checkpoint not present")
+    spec = inst.get_instance("ta41")
+    cfg = learner.LearnerConfig(hidden=(256, 256), features="rich")
+    template = learner.init_train_state(
+        jax.random.key(0), vector.make_batch(spec, 2), cfg
+    ).params
+    params = checkpoint.load(path, template)
+    r = learner.evaluate_policy(params, spec, cfg, max_steps=4096)
+    assert r["greedy_makespan"] < 2499
