@@ -57,9 +57,17 @@ def main() -> None:
     # intrinsic rate (~148M steps/s on ta01) instead of the dispatch tax
     p.add_argument("--steps", type=int, default=int(os.environ.get("JSS_BENCH_STEPS", 8192)))
     p.add_argument("--repeats", type=int, default=3)
+    # deprecated no-op: warmup now always runs the full step count (the
+    # round-3 under-warmed-executable fix); accepted so existing automation
+    # passing --warmup-steps keeps working (ADVICE r4)
+    p.add_argument("--warmup-steps", type=int, default=None,
+                   help=argparse.SUPPRESS)
     p.add_argument("--no-extra", action="store_true",
                    help="skip the ride-along BASELINE config #4 record")
     args = p.parse_args()
+    if args.warmup_steps is not None:
+        log("--warmup-steps is deprecated and ignored (warmup runs the full "
+            "step count)")
 
     import jax
 

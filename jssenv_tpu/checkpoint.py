@@ -15,7 +15,9 @@ dtypes, shapes and any sharding of the template.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import tempfile
 from typing import Any
 
 import jax
@@ -60,10 +62,21 @@ def save(path: str, tree: Any) -> None:
     arrays = {f"leaf_{i}": np.asarray(jax.device_get(_unkey(l))) for i, l in enumerate(leaves)}
     arrays["__names__"] = np.asarray(names)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez_compressed(f, **arrays)
-    os.replace(tmp, path)
+    # unique temp name in the destination dir: concurrent savers to the same
+    # path never interleave into one tmp file, and a kill leaves at most an
+    # identifiable stray (ADVICE r4)
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".tmp.",
+        dir=os.path.dirname(os.path.abspath(path)),
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
 
 
 def load(path: str, template: Any) -> Any:
@@ -83,13 +96,17 @@ def load(path: str, template: Any) -> Any:
         for i, (tmpl, name) in enumerate(zip(leaves_t, names_t)):
             arr = z[f"leaf_{i}"]
             if _is_key(tmpl):
-                # re-wrap raw key data with the template's PRNG impl
-                new_leaves.append(
-                    jax.random.wrap_key_data(
-                        jax.numpy.asarray(arr),
-                        impl=jax.random.key_impl(tmpl),
-                    )
+                # re-wrap raw key data with the template's PRNG impl; place it
+                # onto the template's sharding like any other leaf (a sharded
+                # TrainState restore must not leave the rng key unplaced under
+                # multi-controller — ADVICE r4)
+                key = jax.random.wrap_key_data(
+                    jax.numpy.asarray(arr),
+                    impl=jax.random.key_impl(tmpl),
                 )
+                if hasattr(tmpl, "sharding"):
+                    key = jax.device_put(key, tmpl.sharding)
+                new_leaves.append(key)
             elif hasattr(tmpl, "sharding"):
                 new_leaves.append(
                     jax.device_put(arr.astype(tmpl.dtype), tmpl.sharding)

@@ -19,6 +19,13 @@ from typing import Optional
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "jss_engine.cpp")
+
+
+class NativeUnavailableError(RuntimeError):
+    """The native library could not be built/loaded (no compiler, bad .so).
+
+    Distinct from real native-engine runtime failures so 'auto' fallbacks can
+    catch exactly this and let genuine engine errors propagate (ADVICE r4)."""
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _LOAD_FAILED = False
@@ -106,7 +113,7 @@ class NativeEngine:
     def __init__(self, op_machine: np.ndarray, op_dur: np.ndarray):
         lib = load()
         if lib is None:
-            raise RuntimeError("native engine unavailable (no compiler?)")
+            raise NativeUnavailableError("native engine unavailable (no compiler?)")
         self._lib = lib
         om = np.ascontiguousarray(op_machine, dtype=np.int32)
         od = np.ascontiguousarray(op_dur, dtype=np.int32)

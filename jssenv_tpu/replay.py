@@ -110,12 +110,16 @@ def replay_machine_order(
             nm_ = int(source.num_machines)
             om = np.asarray(source.op_machine)[:nj, :nm_]
             od = np.asarray(source.op_dur)[:nj, :nm_]
+        from jssenv_tpu.native import NativeUnavailableError
+
         try:
             return _replay_native(om, od, machine_order, strict)
-        except RuntimeError as e:
-            if "deadlock" in str(e) or backend == "native":
+        except NativeUnavailableError:
+            if backend == "native":
                 raise
-            # native lib unavailable — fall through to the jax path
+            # native lib unavailable — fall through to the jax path; any
+            # other native RuntimeError (deadlock, time-advance failure)
+            # propagates so real engine bugs are never masked (ADVICE r4)
     if isinstance(source, InstanceSpec):
         state = engine.state_from_spec(source)
     else:

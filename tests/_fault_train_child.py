@@ -40,12 +40,20 @@ def main() -> None:
     if os.path.exists(ckpt):
         ts = checkpoint.load(ckpt, ts)
         start = int(ts.steps)
+    # Ack mode (JSS_FAULT_ACK=1): block on stdin after each update so the
+    # parent's SIGKILL always lands while this process is alive — without it,
+    # a fast child could finish all updates before the parent reads "upd 2"
+    # from the buffered pipe and the kill would hit an exited process
+    # (ADVICE r4).
+    ack = os.environ.get("JSS_FAULT_ACK") == "1"
     step = jax.jit(learner.make_train_step(config))
     for i in range(start, n_updates):
         ts, _ = step(ts)
         jax.block_until_ready(ts.params)
         checkpoint.save(ckpt, ts)
         print(f"upd {i + 1}", flush=True)
+        if ack:
+            sys.stdin.readline()
     print(f"digest {params_digest(ts.params)}", flush=True)
 
 

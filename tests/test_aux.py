@@ -130,11 +130,16 @@ def test_fault_injection_kill_and_resume(tmp_path):
     ref_digest = run_to_completion(str(tmp_path / "ref.npz"))
     assert ref_digest
 
-    # faulted run: SIGKILL after the 2nd update's checkpoint lands
+    # faulted run: SIGKILL after the 2nd update's checkpoint lands. The child
+    # runs in ack mode (JSS_FAULT_ACK=1): it blocks on stdin after every
+    # "upd" print, so the kill deterministically lands while it is alive
+    # (ADVICE r4: without the handshake a fast child could exit before the
+    # parent drains the pipe, making returncode 0 a spurious failure).
     ckpt = str(tmp_path / "faulted.npz")
     proc = subprocess.Popen(
         [sys.executable, child, ckpt, str(n_updates)],
-        stdout=subprocess.PIPE, text=True,
+        stdout=subprocess.PIPE, stdin=subprocess.PIPE, text=True,
+        env={**os.environ, "JSS_FAULT_ACK": "1"},
     )
     seen = 0
     for line in proc.stdout:
@@ -143,6 +148,8 @@ def test_fault_injection_kill_and_resume(tmp_path):
             if seen >= 2:
                 proc.kill()  # SIGKILL: no cleanup, no atexit
                 break
+            proc.stdin.write("go\n")
+            proc.stdin.flush()
     proc.wait(timeout=60)
     assert proc.returncode != 0 and 2 <= seen < n_updates
 
