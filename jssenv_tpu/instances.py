@@ -87,6 +87,22 @@ class InstanceSpec:
     def shape(self) -> Tuple[int, int]:
         return (self.num_jobs, self.num_machines)
 
+    def lower_bound(self) -> int:
+        """A certified makespan lower bound from the instance tensors alone.
+
+        ``max(max machine load, max job duration-chain)``: every machine must
+        process all work routed to it, and every job's operations are a chain —
+        both are classic JSSP lower bounds and need one reduction each over the
+        bundled tensors. Used to anchor solver gaps on instances with no
+        published optimum bundled (e.g. dmu16-dmu20).
+        """
+        om = self.op_machine[: self.num_jobs, : self.num_machines]
+        od = self.op_dur[: self.num_jobs, : self.num_machines].astype(np.int64)
+        machine_load = np.bincount(
+            om.ravel(), weights=od.ravel(), minlength=self.num_machines
+        )
+        return int(max(machine_load.max(), od.sum(axis=1).max()))
+
     def padded(self, jobs_pad: int, machines_pad: int) -> "InstanceSpec":
         """Return a copy padded with zeros to at least (jobs_pad, machines_pad)."""
         jp = max(jobs_pad, self.op_machine.shape[0])

@@ -46,6 +46,23 @@ def test_ta01_derived_scalars():
         assert sorted(spec.op_machine[j]) == list(range(spec.num_machines))
 
 
+def test_lower_bound():
+    """lower_bound() = max(machine load, job chain): recompute independently
+    and pin against published optima (lb <= optimum always)."""
+    for name, optimum in [("ta01", 1231), ("ta41", 2006), ("ta51", 2760)]:
+        spec = inst.get_instance(name)
+        lb = spec.lower_bound()
+        loads = [
+            int(spec.op_dur[spec.op_machine == m].sum())
+            for m in range(spec.num_machines)
+        ]
+        chains = [int(spec.op_dur[j].sum()) for j in range(spec.num_jobs)]
+        assert lb == max(max(loads), max(chains))
+        assert 0 < lb <= optimum
+    # ta51 (50x15) is machine-load-bound at exactly the published optimum
+    assert inst.get_instance("ta51").lower_bound() == 2760
+
+
 def test_parse_roundtrip():
     spec = inst.get_instance("ta05")
     spec2 = inst.parse_taillard_text(spec.to_text(), name="rt")
