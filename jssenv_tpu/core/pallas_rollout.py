@@ -953,15 +953,24 @@ def _from_lanes(arrays, state: EnvState) -> EnvState:
     return state.replace(**upd)
 
 
-def _pick_tile(B: int, tile, vdt, state=None) -> int:
+def _pick_tile(B: int, tile, vdt, state=None, J=None, M=None) -> int:
     # VMEM note: per-tile footprint is dominated by the one 3-D field —
-    # solution (J, M, TILE) (~0.9MB at 30x20, TILE=512, int32) — and the
-    # doubled in/out buffers. int16 mode halves everything; the defaults
-    # below stay within the 16MB scoped-vmem limit for the ta families.
+    # solution (J, M, TILE) — plus ~12 (J, TILE) fields, all doubled for
+    # in/out buffers. The default tile is sized from the per-lane byte count
+    # so one tile's in+out state stays ~10MB against the 16MB VMEM budget:
+    # 1024 lanes for the 15x15/30x20 families (unchanged from the hand-tuned
+    # round-3 value), 256 for 100x20 (ta71-ta80, where solution alone is
+    # 2000 ints/lane). int16 mode halves the footprint and doubles the cap.
     if tile is None:
         import math
 
-        default = min(B, 2048 if vdt == jnp.int16 else 1024)
+        cap = 2048 if vdt == jnp.int16 else 1024
+        if J is not None and M is not None:
+            itemsize = jnp.dtype(vdt).itemsize
+            per_lane = itemsize * (J * M + 12 * J + 6 * M + 8)
+            budget = 5 * 1024 * 1024  # one-way; in+out ~2x
+            cap = min(cap, max(128, 1 << ((budget // per_lane).bit_length() - 1)))
+        default = min(B, cap)
         if state is not None:
             _, n = _group_lanes(state, 1)  # tile=1 always divides
             default = math.gcd(B // n, default)
@@ -1058,7 +1067,7 @@ def rollout_driven(
     # it always runs int32 (the int16 layouts only pay off in the free-running
     # benchmark kernel, and int32 keeps this reference build maximally boring)
     vdt = jnp.int32
-    tile = _pick_tile(B, tile, vdt, state)
+    tile = _pick_tile(B, tile, vdt, state, J, M)
     perm, n_groups = _group_lanes(state, tile)
     actions = jnp.asarray(actions, jnp.int32)
     if perm is not None:
@@ -1153,7 +1162,7 @@ def rollout_free(
     B = state.time.shape[0]
     T = int(num_steps)
     vdt = value_dtype(state)
-    tile = _pick_tile(B, tile, vdt, state)
+    tile = _pick_tile(B, tile, vdt, state, J, M)
     perm, n_groups = _group_lanes(state, tile)
     if bits is not None:
         bits = jnp.asarray(bits).view(jnp.int32) if bits.dtype == jnp.uint32 \

@@ -228,3 +228,19 @@ def test_rejects_untileable_batches():
         pallas_rollout.rollout_driven(
             state, jnp.zeros((4, 4), jnp.int32), 4, tile=4, interpret=True
         )
+
+
+def test_pick_tile_vmem_aware():
+    """Default tile sizing respects the ~16MB VMEM budget across instance
+    geometries: the hand-tuned 1024 for the 15x15/30x20 families, smaller
+    tiles once the (J, M, TILE) solution block grows (100x20 ta71-ta80 —
+    verified compiling + running + driven-parity-exact on a v5e chip,
+    docs/BENCHMARKS.md)."""
+    cases = {(15, 15): 1024, (30, 20): 1024, (100, 20): 256, (50, 15): 512}
+    for (J, M), want in cases.items():
+        got = pallas_rollout._pick_tile(16384, None, jnp.int32, None, J, M)
+        assert got == want, f"J={J} M={M}: {got} != {want}"
+    # explicit tile still honored, divisibility still enforced
+    assert pallas_rollout._pick_tile(512, 128, jnp.int32, None, 100, 20) == 128
+    with pytest.raises(ValueError):
+        pallas_rollout._pick_tile(100, 64, jnp.int32, None, 15, 15)
