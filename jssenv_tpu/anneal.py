@@ -486,3 +486,170 @@ def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
 
     rng, cur, best = jax.lax.fori_loop(0, n, body, (rng, cur, best))
     return rng, cur, best, mk_seed
+
+
+# ---------------------------------------------------------------------------
+# Tabu search (round-5): best-of-P-proposals with short-term move memory
+# ---------------------------------------------------------------------------
+#
+# The canonical strong results on ta41-ta50 (Nowicki-Smutnicki TSAB,
+# Taillard's TS) come from tabu search, not SA — consistent with the round-4
+# measurement that extra SA move types priced under Metropolis don't help.
+# This is the batched TPU shape of that idea: each of B chains samples P
+# critical-pair swaps per iteration (all B*P proposals priced by ONE
+# frontier-sweep batch), picks the best admissible one (not-tabu, or
+# aspiration: better than the chain's own best), and ALWAYS moves — uphill
+# moves escape local minima deterministically instead of by temperature
+# luck. The inverse of the applied move becomes tabu for a randomized
+# tenure.
+
+
+def tabu_search(
+    tables,
+    orders0: jax.Array,
+    seed: jax.Array,
+    iters: int = 2000,
+    proposals: int = 8,
+    tenure_min: int = 8,
+    tenure_spread: int = 6,
+) -> Tuple[jax.Array, jax.Array]:
+    """Refine an order batch by parallel tabu search; returns
+    (best_orders (B, M, J), best_makespans (B,)).
+
+    Per chain and iteration: sample ``proposals`` adjacent swaps from the
+    critical-pair candidate set (uniform random adjacent pairs when a chain
+    has no critical pair), price them all with one batched sweep, and move
+    to the best *admissible* proposal — one whose move attribute is not
+    tabu, or which improves on the chain's best-so-far (aspiration). If
+    every sampled proposal is tabu, the best tabu one is taken (stalling
+    beats freezing). The applied move's inverse — re-swapping the same
+    ordered job pair on that machine — is forbidden for
+    ``tenure_min + U[0, tenure_spread)`` iterations (randomized tenure
+    breaks limit cycles; Taillard's classic recipe).
+
+    Device cost per iteration: one (B*proposals)-lane forward sweep plus one
+    B-lane reversed sweep (tails), so at equal sweep-lane budget
+    ``B_tabu * proposals ~= B_sa`` this costs the same as ``anneal()`` while
+    selecting per-iteration moves from a P-wide priced neighborhood instead
+    of Metropolis-accepting a single sample. Runs in bounded device-call
+    chunks (_CHUNK) like ``anneal()``.
+    """
+    carry = _tabu_init(tables, orders0, seed)
+    for i0 in range(0, int(iters), _CHUNK):
+        n = min(_CHUNK, int(iters) - i0)
+        carry = _tabu_chunk(
+            tables, carry, jnp.int32(i0), n, int(proposals),
+            int(tenure_min), int(tenure_spread),
+        )
+    _, _, _, (best_orders, best_mk) = carry
+    return best_orders, best_mk
+
+
+@jax.jit
+def _tabu_init(tables, orders0, seed):
+    mk0, starts0 = _sweep(tables, orders0)
+    ref = jnp.argmin(mk0)
+    bad = mk0 == _I32_MAX
+    orders0 = jnp.where(bad[:, None, None], orders0[ref][None], orders0)
+    mk0 = jnp.where(bad, mk0[ref], mk0)
+    starts0 = jnp.where(bad[:, None, None], starts0[ref][None], starts0)
+    B, M, J = orders0.shape
+    rtables = reverse_tables(tables)
+    tails0 = _tails(rtables, orders0)
+    # tabu_until[b, m*J*J + u*J + v]: swapping adjacent (u before v) on
+    # machine m is forbidden while iteration < value. int32 (B, M*J*J) —
+    # 18.4MB at B=256/30x20, fine in HBM.
+    tabu = jnp.zeros((B, M * J * J), jnp.int32)
+    rng = jax.random.key(seed)
+    return rng, (orders0, mk0, starts0, tails0), tabu, (orders0, mk0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _tabu_chunk(tables, chunk_carry, i0, n, P, tenure_min, tenure_spread):
+    rng, cur, tabu, best = chunk_carry
+    B, M, J = cur[0].shape
+    rtables = reverse_tables(tables)
+    j2 = J * J
+
+    def body(i, carry):
+        rng, (orders, mk, starts, tails), tabu, (best_orders, best_mk) = carry
+        it = i0 + i
+        rng, k_cand, k_rand, k_ten = jax.random.split(rng, 4)
+        crit = _critical_ops(tables, orders, mk, starts, tails)
+        cand = (crit & jnp.roll(crit, -1, axis=2)).at[:, :, J - 1].set(False)
+        flat = jnp.broadcast_to(cand.reshape(B, 1, M * J), (B, P, M * J))
+        idx, has = jax.vmap(_sample_true, in_axes=(0, 1), out_axes=1)(
+            jax.random.split(k_cand, P), flat
+        )  # (B, P)
+        msel_r = jax.random.randint(k_rand, (B, P), 0, M, dtype=jnp.int32)
+        p_r = jax.random.randint(k_ten, (B, P), 0, J - 1, dtype=jnp.int32)
+        msel = jnp.where(has, idx // J, msel_r)
+        p = jnp.where(has, idx % J, p_r)
+
+        # price all B*P proposals with one sweep batch
+        ordP = jnp.broadcast_to(orders[:, None], (B, P, M, J)).reshape(
+            B * P, M, J
+        )
+        prop = _swap_adjacent(ordP, msel.reshape(-1), p.reshape(-1))
+        mk_p, starts_p = _sweep(tables, prop)
+        mk_p = mk_p.reshape(B, P)
+
+        # move attribute of proposal (u before v -> v before u): flat index
+        # msel*J*J + u*J + v; tabu iff tabu[b, attr] > it
+        row = jnp.take_along_axis(orders, msel[:, :, None], axis=1)  # (B,P,J)
+        u = jnp.take_along_axis(row, p[:, :, None], axis=2)[:, :, 0]
+        v = jnp.take_along_axis(row, (p + 1)[:, :, None], axis=2)[:, :, 0]
+        attr_fwd = msel * j2 + u * J + v
+        attr_inv = msel * j2 + v * J + u
+        is_tabu = jnp.take_along_axis(tabu, attr_fwd, axis=1) > it
+        feas = mk_p < _I32_MAX
+        aspire = mk_p < best_mk[:, None]
+        admissible = feas & (~is_tabu | aspire)
+
+        # best admissible, else best feasible (stall rather than corrupt).
+        # _I32_MAX is a safe exclusion sentinel: admissible/feasible
+        # proposals always have mk < _I32_MAX, so argmin only lands on an
+        # excluded slot when the corresponding any() guard is False.
+        key_adm = jnp.where(admissible, mk_p, _I32_MAX)
+        key_feas = jnp.where(feas, mk_p, _I32_MAX)
+        any_adm = jnp.any(admissible, axis=1)
+        sel = jnp.where(
+            any_adm, jnp.argmin(key_adm, axis=1), jnp.argmin(key_feas, axis=1)
+        ).astype(jnp.int32)
+        movable = jnp.where(any_adm, True, jnp.any(feas, axis=1))
+
+        sel_oh = sel[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+        mk_new = jnp.sum(jnp.where(sel_oh, mk_p, 0), axis=1)
+        prop_bp = prop.reshape(B, P, M, J)
+        starts_bp = starts_p.reshape(B, P, M, J)
+        sel4 = sel_oh[:, :, None, None]
+        ord_new = jnp.sum(jnp.where(sel4, prop_bp, 0), axis=1)
+        starts_new = jnp.sum(jnp.where(sel4, starts_bp, 0), axis=1)
+
+        mv3 = movable[:, None, None]
+        orders = jnp.where(mv3, ord_new, orders)
+        mk = jnp.where(movable, mk_new, mk)
+        starts = jnp.where(mv3, starts_new, starts)
+
+        # tabu the inverse of the applied move, randomized tenure
+        rng, k_jit = jax.random.split(rng)
+        tenure = tenure_min + (
+            jax.random.randint(k_jit, (B,), 0, max(tenure_spread, 1))
+            if tenure_spread > 0
+            else 0
+        )
+        attr_applied = jnp.sum(jnp.where(sel_oh, attr_inv, 0), axis=1)
+        new_until = jnp.where(movable, it + 1 + tenure, 0)
+        tabu = tabu.at[jnp.arange(B), attr_applied].max(new_until)
+
+        better = mk < best_mk
+        best_orders = jnp.where(better[:, None, None], orders, best_orders)
+        best_mk = jnp.where(better, mk, best_mk)
+
+        tails = _tails(rtables, orders)
+        return rng, (orders, mk, starts, tails), tabu, (best_orders, best_mk)
+
+    rng, cur, tabu, best = jax.lax.fori_loop(
+        0, n, body, (rng, cur, tabu, best)
+    )
+    return rng, cur, tabu, best

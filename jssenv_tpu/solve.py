@@ -107,6 +107,9 @@ def solve(
     refine_iters: int = 0,
     anneal_t0: float = 0.08,
     anneal_t1: float = 0.004,
+    refine_method: str = "anneal",
+    tabu_chains: int = 128,
+    tabu_proposals: int = 8,
 ) -> SolveResult:
     """Search for a low-makespan schedule with ``batch`` parallel noisy
     rollouts for ``sweeps`` episodes each, fully on device.
@@ -123,6 +126,15 @@ def solve(
     (<=2000 iters); for big-budget 30x20 runs a much cooler schedule wins —
     0.015/0.001 measured ~2.5% of gap better than the default at 12000
     iters (docs/BENCHMARKS.md round-4 solver notes).
+
+    ``refine_method``: ``"anneal"`` (batched SA over every lane's best
+    schedule) or ``"tabu"`` (``anneal.tabu_search`` — ``tabu_chains``
+    chains seeded from the top-K *distinct* rollout schedules, each
+    pricing ``tabu_proposals`` critical-pair swaps per iteration and
+    taking the best admissible one under short-term move memory with
+    aspiration). At the same sweep-lane budget
+    (``tabu_chains * tabu_proposals ~= batch``) an iteration costs about
+    the same as one SA iteration.
 
     The first ``num_rules`` lanes always run their rule pure-greedy
     (temperature 0), so the result is never worse than the best portfolio
@@ -173,29 +185,66 @@ def solve(
     if refine_iters > 0:
         result = _refine(
             state, best_sol, result, int(refine_iters), seed,
-            float(anneal_t0), float(anneal_t1),
+            float(anneal_t0), float(anneal_t1), refine_method,
+            int(tabu_chains), int(tabu_proposals),
         )
     return result
 
 
+def top_k_distinct_orders(orders, mks, k: int) -> jnp.ndarray:
+    """Seed orders for refinement: the k best *distinct* machine-order
+    schedules from a lane batch (duplicates collapse to one entry; short
+    sets tile round-robin). Restarting every chain from the single best
+    order collapses search diversity (VERDICT r4); distinct seeds keep the
+    chains exploring different basins."""
+    host_orders = np.asarray(orders)
+    mk = np.asarray(mks)
+    seen = {}
+    for lane in np.argsort(mk, kind="stable"):
+        if mk[lane] >= np.iinfo(np.int32).max:
+            continue
+        key = host_orders[lane].tobytes()
+        if key not in seen:
+            seen[key] = lane
+        if len(seen) >= k:
+            break
+    lanes = list(seen.values())
+    if not lanes:
+        raise RuntimeError("no feasible rollout schedule to seed refinement")
+    idx = np.asarray([lanes[i % len(lanes)] for i in range(k)])
+    return jnp.asarray(host_orders[idx])
+
+
 def _refine(state, best_sol, rollout_result, iters, seed,
-            t0_frac=0.08, t1_frac=0.004) -> SolveResult:
-    """Anneal every lane's best rollout schedule in order space and certify
-    the refined winner through the exact engine (see module docstring)."""
+            t0_frac=0.08, t1_frac=0.004, method="anneal",
+            tabu_chains=128, tabu_proposals=8) -> SolveResult:
+    """Refine rollout schedules in order space (SA or tabu search) and
+    certify the refined winner through the exact engine (module docstring)."""
     import time
 
     from jssenv_tpu import anneal, replay
 
+    if method not in ("anneal", "tabu"):
+        raise ValueError(f"bad refine_method {method!r}")
     t0 = time.time()
     op_machine = jnp.asarray(state.op_machine[0], jnp.int32)
     op_dur = jnp.asarray(state.op_dur[0], jnp.int32)
     op_pos = jnp.asarray(state.op_pos[0], jnp.int32)
     tables = anneal.schedule_tables(op_machine, op_dur, op_pos)
-    orders0 = anneal.orders_from_solutions(op_pos, jnp.asarray(best_sol))
-    best_orders, best_mk = anneal.anneal(
-        tables, orders0, jnp.asarray(seed, jnp.uint32) + 1, iters,
-        t0_frac=t0_frac, t1_frac=t1_frac,
-    )
+    if method == "tabu":
+        orders_all = anneal.orders_from_solutions(op_pos, jnp.asarray(best_sol))
+        mks_all = anneal.evaluate_orders(tables, orders_all)
+        seeds_k = top_k_distinct_orders(orders_all, mks_all, tabu_chains)
+        best_orders, best_mk = anneal.tabu_search(
+            tables, seeds_k, jnp.asarray(seed, jnp.uint32) + 1, iters,
+            proposals=tabu_proposals,
+        )
+    else:
+        orders0 = anneal.orders_from_solutions(op_pos, jnp.asarray(best_sol))
+        best_orders, best_mk = anneal.anneal(
+            tables, orders0, jnp.asarray(seed, jnp.uint32) + 1, iters,
+            t0_frac=t0_frac, t1_frac=t1_frac,
+        )
     best_mk = np.asarray(best_mk)
     rollout_result.timings["refine_s"] = round(time.time() - t0, 2)
     lane = int(np.argmin(best_mk))

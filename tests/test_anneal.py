@@ -59,6 +59,49 @@ def test_anneal_improves_rule_schedules_and_certifies():
     assert mk == refined.makespan
 
 
+def test_tabu_from_optimum_stays_at_optimum():
+    """Tabu moves are uphill-capable but best-so-far tracking must hold the
+    optimum once seeded with it."""
+    state, tables = _tables("ta01")
+    orders = jnp.repeat(
+        jnp.asarray(np.array(GOLDEN["ta01"]["machine_order"], np.int32))[None], 4, 0
+    )
+    _, best = anneal.tabu_search(tables, orders, jnp.uint32(0), 60, proposals=4)
+    assert (np.asarray(best) == 1231).all()
+
+
+def test_tabu_improves_and_certifies():
+    """solve(refine_method='tabu'): improves on the raw rollout result and
+    the returned artifact replays to its claimed makespan."""
+    spec = inst.random_instance(10, 6, duration_range=(1, 30), seed=7)
+    base = solve.solve(spec, batch=64, sweeps=2, seed=3)
+    refined = solve.solve(
+        spec, batch=64, sweeps=2, seed=3, refine_iters=150,
+        refine_method="tabu", tabu_chains=16, tabu_proposals=4,
+    )
+    assert refined.makespan <= base.makespan
+    mk, _ = replay.replay_machine_order(spec, refined.machine_order())
+    assert mk == refined.makespan
+
+
+def test_top_k_distinct_orders_dedups_and_ranks():
+    state, tables = _tables("ta01")
+    opt = np.array(GOLDEN["ta01"]["machine_order"], np.int32)
+    worse = opt.copy()
+    worse[0] = np.roll(worse[0], 1)  # different (maybe infeasible) order
+    orders = jnp.asarray(np.stack([opt, opt, worse, opt]))
+    mks = anneal.evaluate_orders(tables, orders)
+    seeds = solve.top_k_distinct_orders(orders, mks, 4)
+    host = np.asarray(seeds)
+    # duplicates of the optimum collapse to ONE distinct entry; the set
+    # tiles round-robin over the distinct survivors, best first
+    assert (host[0] == opt).all()
+    n_distinct = len({host[i].tobytes() for i in range(4)})
+    assert n_distinct <= 2 and host.shape == (4,) + opt.shape
+    mks2 = np.asarray(anneal.evaluate_orders(tables, seeds))
+    assert (mks2 < np.iinfo(np.int32).max).all()  # infeasible never seeds
+
+
 def test_noncritical_adjacent_swaps_never_improve():
     """The theorem behind the move set (anneal.critical_pairs): an adjacent
     swap on a machine can only reduce the makespan if BOTH ops are critical.
