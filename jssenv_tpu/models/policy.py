@@ -34,13 +34,18 @@ class MaskedPolicyNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, obs: jax.Array, mask: jax.Array
+        self, obs: jax.Array, mask: jax.Array, valid: jax.Array = None
     ) -> Tuple[jax.Array, jax.Array]:
         """obs: (..., J, 7) float32; mask: (..., J+1) bool.
+
+        ``valid`` is accepted (and ignored) so both policy architectures
+        share one call signature; the flat net sees padded job rows as
+        plain zero features.
 
         Returns (logits (..., J+1) float32 with -inf on illegal actions,
         value (...,) float32).
         """
+        del valid
         x = obs.reshape(obs.shape[:-2] + (-1,)).astype(self.compute_dtype)
         for i, width in enumerate(self.hidden):
             x = nn.Dense(width, name=f"trunk_{i}", dtype=self.compute_dtype)(x)
@@ -52,6 +57,74 @@ class MaskedPolicyNet(nn.Module):
         logits = jnp.where(mask, logits, -jnp.inf)
         # a terminal state has an all-False mask; keep logits finite there so
         # downstream log_softmax stays NaN-free (the action is ignored anyway)
+        all_dead = ~mask.any(axis=-1, keepdims=True)
+        logits = jnp.where(all_dead, 0.0, logits)
+        return logits, value
+
+
+class PerJobPolicyNet(nn.Module):
+    """Size- and permutation-invariant policy: a shared per-job scorer.
+
+    The flat ``MaskedPolicyNet`` hard-wires its input width to J*C and its
+    output width to J+1, so a 15x15-trained checkpoint is topologically
+    incompatible with a 30x20 instance (VERDICT r4). This net never sees J
+    as a dimensionality:
+
+    * a shared MLP embeds each job's C features (J rides as a batch axis —
+      the same weights score any number of jobs, and reordering jobs
+      reorders the logits: permutation equivariance for free);
+    * a masked mean+max pool over *present* jobs (``valid``; padded lanes in
+      ragged batches mask out) gives a global context vector;
+    * each job's logit comes from [its embedding, the context] — so scores
+      are competitive, not per-job-myopic; the no-op logit and the value
+      head read the context alone.
+
+    One checkpoint therefore runs ANY (J, M), including mixed-size ragged
+    batches, and is the standard architecture family for learned
+    dispatching on this problem class.
+    """
+
+    hidden: int = 128
+    depth: int = 2
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        obs: jax.Array,
+        mask: jax.Array,
+        valid: jax.Array = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """obs: (..., J, C) float32; mask: (..., J+1) bool;
+        valid: (..., J) bool — which job rows exist (defaults to all).
+
+        Returns (logits (..., J+1) float32 with -inf on illegal actions,
+        value (...,) float32).
+        """
+        J = obs.shape[-2]
+        if valid is None:
+            valid = jnp.ones(obs.shape[:-1], bool)
+        x = obs.astype(self.compute_dtype)
+        for i in range(self.depth):
+            x = nn.Dense(self.hidden, name=f"job_{i}", dtype=self.compute_dtype)(x)
+            x = nn.relu(x)
+        v3 = valid[..., None]
+        n = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1)
+        mean = jnp.sum(jnp.where(v3, x, 0), axis=-2) / n.astype(self.compute_dtype)
+        mx = jnp.max(jnp.where(v3, x, jnp.asarray(-1e4, self.compute_dtype)), axis=-2)
+        ctx = jnp.concatenate([mean, mx], axis=-1)  # (..., 2H)
+        ctx_b = jnp.broadcast_to(
+            ctx[..., None, :], x.shape[:-1] + (2 * self.hidden,)
+        )
+        xc = jnp.concatenate([x, ctx_b], axis=-1)
+        xc = nn.relu(nn.Dense(self.hidden, name="score_0", dtype=self.compute_dtype)(xc))
+        job_logit = nn.Dense(1, name="score_head", dtype=self.compute_dtype)(xc)[..., 0]
+        g = nn.relu(nn.Dense(self.hidden, name="ctx_0", dtype=self.compute_dtype)(ctx))
+        noop_logit = nn.Dense(1, name="noop_head", dtype=self.compute_dtype)(g)
+        value = nn.Dense(1, name="value_head", dtype=self.compute_dtype)(g)
+        logits = jnp.concatenate([job_logit, noop_logit], axis=-1).astype(jnp.float32)
+        value = value.astype(jnp.float32)[..., 0]
+        logits = jnp.where(mask, logits, -jnp.inf)
         all_dead = ~mask.any(axis=-1, keepdims=True)
         logits = jnp.where(all_dead, 0.0, logits)
         return logits, value

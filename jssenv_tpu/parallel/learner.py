@@ -28,7 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jssenv_tpu import vector
 from jssenv_tpu.core.state import EnvState
-from jssenv_tpu.models.policy import MaskedPolicyNet, sample_action
+from jssenv_tpu.models.policy import (
+    MaskedPolicyNet,
+    PerJobPolicyNet,
+    sample_action,
+)
 
 
 @struct.dataclass
@@ -49,6 +53,10 @@ class LearnerConfig:
     # observation features: "reference" = the 7 reference columns;
     # "rich" = those plus 6 rule-aligned channels (EnvState.rich_obs)
     features: str = struct.field(pytree_node=False, default="reference")
+    # policy architecture: "flat" = MaskedPolicyNet (J*C -> J+1 MLP, fastest,
+    # size-locked); "perjob" = PerJobPolicyNet (shared per-job scorer +
+    # pooled context — one checkpoint runs any (J, M); VERDICT r4)
+    arch: str = struct.field(pytree_node=False, default="flat")
 
 
 @struct.dataclass
@@ -60,9 +68,21 @@ class TrainState:
     steps: jax.Array  # () int32 — learner updates applied
 
 
-def make_model(state: EnvState, config: LearnerConfig) -> MaskedPolicyNet:
+def make_model(state: EnvState, config: LearnerConfig):
+    if config.arch == "perjob":
+        return PerJobPolicyNet(hidden=config.hidden[0], depth=len(config.hidden))
+    if config.arch != "flat":
+        raise ValueError(f"unknown arch {config.arch!r}")
     return MaskedPolicyNet(
         num_actions=state.jobs_pad + 1, hidden=config.hidden
+    )
+
+
+def valid_batch(env_state: EnvState) -> jax.Array:
+    """(B, J) bool: which job rows exist per lane (ragged batches pad J)."""
+    return (
+        jnp.arange(env_state.jobs_pad, dtype=jnp.int32)[None, :]
+        < env_state.num_jobs[:, None]
     )
 
 
@@ -86,7 +106,7 @@ def init_train_state(
     model = make_model(env_state, config)
     obs0 = obs_batch(env_state, config)[0]
     mask0 = jax.vmap(EnvState.action_mask)(env_state)[0]
-    params = model.init(rng, obs0, mask0)
+    params = model.init(rng, obs0, mask0, valid_batch(env_state)[0])
     opt_state = make_optimizer(config).init(params)
     return TrainState(
         params=params,
@@ -105,7 +125,8 @@ def _policy_rollout(model, params, env_state, rng, config):
         rng, sub = jax.random.split(rng)
         obs = obs_batch(env_state, config)
         mask = jax.vmap(EnvState.action_mask)(env_state)
-        logits, value = model.apply(params, obs, mask)
+        valid = valid_batch(env_state)
+        logits, value = model.apply(params, obs, mask, valid)
         action_idx, logp = sample_action(sub, logits)
         # padded no-op slot (index jobs_pad) -> env no-op action id (num_jobs)
         actions = jnp.where(
@@ -113,8 +134,8 @@ def _policy_rollout(model, params, env_state, rng, config):
         )
         env_state, tr, stats = vector.step_autoreset(env_state, actions, stats)
         frame = dict(
-            obs=obs, mask=mask, action=action_idx, reward=tr.reward,
-            done=tr.done, value=value, logp=logp,
+            obs=obs, mask=mask, valid=valid, action=action_idx,
+            reward=tr.reward, done=tr.done, value=value, logp=logp,
         )
         return (env_state, rng, stats), frame
 
@@ -190,7 +211,9 @@ def make_train_step(
         rets = _returns(traj, config)
 
         def loss_fn(params):
-            logits, values = model.apply(params, traj["obs"], traj["mask"])
+            logits, values = model.apply(
+                params, traj["obs"], traj["mask"], traj["valid"]
+            )
             logp_all = jax.nn.log_softmax(logits, axis=-1)
             logp = jnp.take_along_axis(
                 logp_all, traj["action"][..., None], axis=-1
@@ -237,9 +260,11 @@ def _make_ppo_step(config: LearnerConfig):
             model, ts.params, ts.env_state, roll_rng, config
         )
         # bootstrap value of the post-rollout state
-        obs_last = jax.vmap(lambda s: s.observation()["real_obs"])(env_state)
+        obs_last = obs_batch(env_state, config)
         mask_last = jax.vmap(EnvState.action_mask)(env_state)
-        _, last_value = model.apply(ts.params, obs_last, mask_last)
+        _, last_value = model.apply(
+            ts.params, obs_last, mask_last, valid_batch(env_state)
+        )
         advs = _gae(traj, last_value, config)
         rets = advs + traj["value"]
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)
@@ -250,6 +275,7 @@ def _make_ppo_step(config: LearnerConfig):
         flat = {
             "obs": traj["obs"].reshape(N, *traj["obs"].shape[2:]),
             "mask": traj["mask"].reshape(N, -1),
+            "valid": traj["valid"].reshape(N, -1),
             "action": traj["action"].reshape(N),
             "logp_old": traj["logp"].reshape(N),
             "adv": advs.reshape(N),
@@ -258,7 +284,9 @@ def _make_ppo_step(config: LearnerConfig):
         mb_size = N // config.minibatches
 
         def loss_fn(params, batch):
-            logits, values = model.apply(params, batch["obs"], batch["mask"])
+            logits, values = model.apply(
+                params, batch["obs"], batch["mask"], batch["valid"]
+            )
             logp_all = jax.nn.log_softmax(logits, axis=-1)
             logp = jnp.take_along_axis(
                 logp_all, batch["action"][..., None], axis=-1
@@ -335,7 +363,7 @@ def greedy_policy(params, config: LearnerConfig):
         model = make_model(env_state, config)
         obs = obs_batch(env_state, config)
         mask = jax.vmap(EnvState.action_mask)(env_state)
-        logits, _ = model.apply(params, obs, mask)
+        logits, _ = model.apply(params, obs, mask, valid_batch(env_state))
         a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jnp.where(a == env_state.jobs_pad, env_state.num_jobs, a)
 
@@ -368,7 +396,7 @@ def evaluate_policy(
     def policy(rng, s):
         obs = obs_batch(s, config)
         mask = jax.vmap(EnvState.action_mask)(s)
-        logits, _ = model.apply(params, obs, mask)
+        logits, _ = model.apply(params, obs, mask, valid_batch(s))
         a_samp, _ = sample_action(rng, logits)
         a_greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         lane = jnp.arange(a_samp.shape[0])
@@ -408,11 +436,15 @@ def partition_params(params, mesh: Mesh, mp_axis: str = "mp"):
     def spec_for(path, leaf):
         names = [getattr(p, "key", str(p)) for p in path]
         name = "/".join(names)
-        if "trunk_0" in name and leaf.ndim == 2:
+        # flat arch: trunk_0/trunk_1; perjob arch: job_0/job_1 (same
+        # column-then-row parallel Dense pair shape)
+        col = "trunk_0" in name or "job_0" in name
+        row = "trunk_1" in name or "job_1" in name
+        if col and leaf.ndim == 2:
             return P(None, mp_axis)
-        if "trunk_0" in name and leaf.ndim == 1:
+        if col and leaf.ndim == 1:
             return P(mp_axis)
-        if "trunk_1" in name and leaf.ndim == 2:
+        if row and leaf.ndim == 2:
             return P(mp_axis, None)
         return P()
 

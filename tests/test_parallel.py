@@ -249,3 +249,58 @@ def test_ta41_policy_beats_best_rule():
     params = checkpoint.load(path, template)
     r = learner.evaluate_policy(params, spec, cfg, max_steps=4096)
     assert r["greedy_makespan"] < 2499
+
+
+def test_perjob_arch_is_size_invariant():
+    """One PerJobPolicyNet checkpoint trains on a mixed-size ragged batch and
+    evaluates on BOTH families (different J) — topologically impossible for
+    the flat arch (VERDICT r4). Also pins permutation equivariance: shuffling
+    job rows shuffles the job logits identically."""
+    cfg = learner.LearnerConfig(unroll_steps=4, hidden=(32, 32), arch="perjob")
+    iset = inst.get_instance_set(["ta01", "ta41"])
+    env_state = vector.make_batch(iset, 8)
+    ts = learner.init_train_state(jax.random.key(0), env_state, cfg)
+    step = jax.jit(learner.make_train_step(cfg))
+    ts2, metrics = step(ts)
+    leaves0 = jax.tree.leaves(ts.params)
+    leaves1 = jax.tree.leaves(ts2.params)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+    # same params, both instance sizes
+    for name in ("ta01", "ta41"):
+        out = learner.evaluate_policy(ts2.params, inst.get_instance(name), cfg)
+        assert out["greedy_makespan"] > 0
+
+    # permutation equivariance of the job scores
+    from jssenv_tpu.core.state import EnvState as ES
+
+    s = vector.make_batch(inst.get_instance("ta01"), 2)
+    obs = learner.obs_batch(s, cfg)
+    mask = jax.vmap(ES.action_mask)(s)
+    valid = learner.valid_batch(s)
+    model = learner.make_model(s, cfg)
+    logits, value = model.apply(ts2.params, obs, mask, valid)
+    perm = np.random.default_rng(0).permutation(s.jobs_pad)
+    logits_p, value_p = model.apply(
+        ts2.params, obs[:, perm], mask[:, list(perm) + [s.jobs_pad]],
+        valid[:, perm],
+    )
+    J = s.jobs_pad
+    np.testing.assert_allclose(
+        np.asarray(logits)[:, perm], np.asarray(logits_p)[:, :J], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits)[:, J], np.asarray(logits_p)[:, J], rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(value), np.asarray(value_p), rtol=1e-5)
+
+
+def test_perjob_ppo_step_runs():
+    cfg = learner.LearnerConfig(
+        unroll_steps=4, hidden=(32, 32), arch="perjob", algo="ppo",
+        minibatches=2, ppo_epochs=1,
+    )
+    env_state = vector.make_batch(inst.get_instance("ta01"), 8)
+    ts = learner.init_train_state(jax.random.key(1), env_state, cfg)
+    step = jax.jit(learner.make_train_step(cfg))
+    ts2, metrics = step(ts)
+    assert int(ts2.steps) == 1 and np.isfinite(float(metrics["loss"]))
