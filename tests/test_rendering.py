@@ -98,3 +98,71 @@ def test_plotly_create_gantt_branch():
     # group_tasks=True: one y row per task; both stepped jobs appear
     ticktext = list(fig.layout.yaxis.ticktext or [])
     assert "Job 0" in ticktext and "Job 3" in ticktext
+
+
+def test_plotly_branch_marshalling_with_instrumented_double():
+    """Executes the plotly branch's data-marshalling (_render_plotly) with
+    REAL pandas and an instrumented create_gantt double, pinning exactly
+    what we hand the plotly API: the records DataFrame, index_col/group_tasks
+    kwargs, and the reversed y-axis call (reference jss_env.py:682-691).
+
+    plotly itself cannot be installed in this sealed environment (zero
+    egress); the structural test against real plotly
+    (test_plotly_create_gantt_branch) runs under CI's [render] extra. This
+    test keeps OUR side of the create_gantt contract executed everywhere.
+    """
+    import sys
+    import types
+
+    pd = pytest.importorskip("pandas")
+    env = JssEnv({"instance_path": "ta01"})
+    env.reset()
+    env.step(0)
+    env.step(3)
+    seen = {}
+
+    class FakeFig:
+        def update_yaxes(self, **kw):
+            seen["yaxes"] = kw
+
+    def create_gantt(df, **kwargs):
+        seen["df"] = df
+        seen["kwargs"] = kwargs
+        return FakeFig()
+
+    fake_ff = types.ModuleType("plotly.figure_factory")
+    fake_ff.create_gantt = create_gantt
+    fake_plotly = types.ModuleType("plotly")
+    fake_plotly.figure_factory = fake_ff
+    saved = {k: sys.modules.get(k) for k in ("plotly", "plotly.figure_factory")}
+    sys.modules["plotly"] = fake_plotly
+    sys.modules["plotly.figure_factory"] = fake_ff
+    try:
+        fig = gantt.render_schedule(
+            env.solution,
+            env.instance_matrix[..., 0],
+            env.instance_matrix[..., 1],
+            backend="plotly",
+            start_timestamp=env.start_timestamp,
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    assert isinstance(fig, FakeFig)
+    df = seen["df"]
+    assert isinstance(df, pd.DataFrame)
+    assert set(df.columns) >= {"Task", "Start", "Finish", "Resource"}
+    assert sorted(df["Task"]) == ["Job 0", "Job 3"]
+    # durations encoded in wall-clock timestamps (reference anchors at
+    # start_timestamp; jss_env.py:672-675)
+    for _, row in df.iterrows():
+        j = int(row["Task"].split()[1])
+        assert (row["Finish"] - row["Start"]).total_seconds() == \
+            env.instance_matrix[j][0][1]
+    assert seen["kwargs"]["index_col"] == "Resource"
+    assert seen["kwargs"]["group_tasks"] is True
+    assert seen["kwargs"]["show_colorbar"] is True
+    assert seen["yaxes"] == {"autorange": "reversed"}
