@@ -58,15 +58,21 @@ _SWEEP_UNROLL = max(1, int(os.environ.get("JSS_SWEEP_UNROLL", "1")))
 
 
 def schedule_tables(op_machine, op_dur, op_pos) -> Tuple[jax.Array, ...]:
-    """Static (J, M) tables the evaluator needs: machine ids, op positions,
-    and durations re-indexed by machine (dur_by_machine[j, m] = duration of
-    job j's op on machine m)."""
+    """Static tables the evaluator needs: machine ids, op positions, and
+    durations re-indexed by machine (dur_by_machine[j, m] = duration of job
+    j's op on machine m).
+
+    Accepts ``(J, M)`` tensors (one instance, shared by every lane) or
+    ``(B, J, M)`` stacks (one instance PER LANE — every sweep/anneal/tabu
+    entry point then refines B different instances in one device call; the
+    instances must share the padded (J, M) shape). Lane b of an orders
+    batch is always evaluated against table row b (or the shared table)."""
     op_machine = jnp.asarray(op_machine, jnp.int32)
     op_dur = jnp.asarray(op_dur, jnp.int32)
     op_pos = jnp.asarray(op_pos, jnp.int32)
-    mp = op_machine.shape[1]
+    mp = op_machine.shape[-1]
     dur_by_machine = jnp.take_along_axis(
-        op_dur, jnp.clip(op_pos, 0, mp - 1), axis=1
+        op_dur, jnp.clip(op_pos, 0, mp - 1), axis=-1
     )
     return op_machine, op_pos, dur_by_machine
 
@@ -78,14 +84,22 @@ def _sweep(tables, orders: jax.Array):
     infeasible) and the start time of the op at each machine rank.
     """
     op_machine, op_pos, dur_by_machine = tables
-    J, M = op_machine.shape
+    J, M = op_machine.shape[-2:]
     B = orders.shape[0]
     j_iota = jnp.arange(J, dtype=jnp.int32)
     r_iota = jnp.arange(J, dtype=jnp.int32)[None, None, :]
     m_iota3 = jnp.arange(M, dtype=jnp.int32)[None, None, :]
 
-    op_pos_T = op_pos.T  # (M, J): position of machine m's op within job j
-    dur_T = dur_by_machine.T  # (M, J)
+    # shared (J, M) tables ride a broadcast (1, ...) batch dim; per-lane
+    # (B, J, M) stacks use their own row per lane (schedule_tables docstring)
+    if op_machine.ndim == 2:
+        om_b = op_machine[None]  # (1, J, M)
+        op_pos_T = op_pos.T[None]  # (1, M, J)
+        dur_T = dur_by_machine.T[None]  # (1, M, J)
+    else:
+        om_b = op_machine  # (B, J, M)
+        op_pos_T = jnp.swapaxes(op_pos, -1, -2)
+        dur_T = jnp.swapaxes(dur_by_machine, -1, -2)
 
     # Every dynamic index below lowers as a ONE-HOT masked reduction over the
     # tiny J/M axis, never take_along_axis: TPU gathers on these shapes are
@@ -107,7 +121,7 @@ def _sweep(tables, orders: jax.Array):
         h = jnp.clip(h, 0, J - 1)
         h_oh = j_iota[None, None, :] == h[:, :, None]  # (B, M, J) job one-hot
         valid = cnt < J
-        pos_h = pick_j(op_pos_T[None], h_oh)  # position of h's op on m
+        pos_h = pick_j(op_pos_T, h_oh)  # position of h's op on m
         done_h = pick_j(done[:, None, :], h_oh)  # (B, M)
         # commit machine m's head job iff that op is the job's current op
         # (its job predecessor is then final; the machine predecessor is
@@ -115,7 +129,7 @@ def _sweep(tables, orders: jax.Array):
         alloc = valid & ~stuck[:, None] & (pos_h == done_h)
         ready_h = pick_j(ready[:, None, :], h_oh)
         begin = jnp.maximum(ready_h, free)
-        end = begin + pick_j(dur_T[None], h_oh)
+        end = begin + pick_j(dur_T, h_oh)
         starts = jnp.where(
             alloc[:, :, None] & cnt_oh,
             begin[:, :, None],
@@ -126,7 +140,7 @@ def _sweep(tables, orders: jax.Array):
         # reflect the committed ops on the job side (each job has its current
         # op on exactly one machine, so no conflicts)
         done_oh = m_iota3 == jnp.clip(done, 0, M - 1)[:, :, None]  # (B, J, M)
-        mj = jnp.sum(jnp.where(done_oh, op_machine[None], 0), axis=2)
+        mj = jnp.sum(jnp.where(done_oh, om_b, 0), axis=2)
         mj_oh = m_iota3 == mj[:, :, None]  # (B, J, M) machine one-hot
         alloc_j = (
             (done < M)
@@ -177,9 +191,9 @@ def reverse_tables(tables):
     criticality: an op is on a critical path iff head + dur + tail == mk.
     """
     op_machine, op_pos, dur_by_machine = tables
-    M = op_machine.shape[1]
+    M = op_machine.shape[-1]
     return (
-        jnp.flip(op_machine, axis=1),
+        jnp.flip(op_machine, axis=-1),  # flip each job's op sequence
         (M - 1) - op_pos,
         dur_by_machine,  # keyed by (job, machine): reversal-invariant
     )
@@ -200,8 +214,13 @@ def _critical_ops(tables, orders, mk, starts, tails) -> jax.Array:
     (head + dur + tail == makespan)."""
     _, _, dur_by_machine = tables
     B, M, J = orders.shape
+    dur_T = (
+        dur_by_machine.T
+        if dur_by_machine.ndim == 2
+        else jnp.swapaxes(dur_by_machine, -1, -2)
+    )
     dur_rank = jnp.take_along_axis(
-        jnp.broadcast_to(dur_by_machine.T, (B, M, J)), orders, axis=2
+        jnp.broadcast_to(dur_T, (B, M, J)), orders, axis=2
     )
     return (starts + dur_rank + tails) == mk[:, None, None]
 
@@ -258,9 +277,10 @@ def _sample_true(key, flat):
 
 def orders_from_solutions(op_pos, solution: jax.Array) -> jax.Array:
     """(B, M, J) machine orders from (B, J, M) op start-time matrices
-    (ties and -1 padding resolve by lowest job index via stable argsort)."""
+    (ties and -1 padding resolve by lowest job index via stable argsort).
+    ``op_pos`` may be shared (J, M) or per-lane (B, J, M)."""
     B = solution.shape[0]
-    J, M = op_pos.shape
+    J, M = op_pos.shape[-2:]
     start_by_machine = jnp.take_along_axis(
         solution, jnp.broadcast_to(jnp.clip(op_pos, 0, M - 1), (B, J, M)), axis=2
     )  # (B, J, M) start of job j's op on machine m
@@ -377,12 +397,14 @@ def anneal(
 def _anneal_init(tables, orders0, seed):
     mk0, starts0 = _sweep(tables, orders0)
     B = orders0.shape[0]
-    # lanes whose seed is infeasible anneal from the best feasible seed
-    ref = jnp.argmin(mk0)
-    bad = mk0 == _I32_MAX
-    orders0 = jnp.where(bad[:, None, None], orders0[ref][None], orders0)
-    mk0 = jnp.where(bad, mk0[ref], mk0)
-    starts0 = jnp.where(bad[:, None, None], starts0[ref][None], starts0)
+    if tables[0].ndim == 2:
+        # lanes whose seed is infeasible anneal from the best feasible seed
+        # (shared tables only — see _tabu_init on per-lane tables)
+        ref = jnp.argmin(mk0)
+        bad = mk0 == _I32_MAX
+        orders0 = jnp.where(bad[:, None, None], orders0[ref][None], orders0)
+        mk0 = jnp.where(bad, mk0[ref], mk0)
+        starts0 = jnp.where(bad[:, None, None], starts0[ref][None], starts0)
     scale = jnp.maximum(mk0.astype(jnp.float32), 1.0)
     J = orders0.shape[2]
     M = orders0.shape[1]
@@ -548,11 +570,17 @@ def tabu_search(
 @jax.jit
 def _tabu_init(tables, orders0, seed):
     mk0, starts0 = _sweep(tables, orders0)
-    ref = jnp.argmin(mk0)
-    bad = mk0 == _I32_MAX
-    orders0 = jnp.where(bad[:, None, None], orders0[ref][None], orders0)
-    mk0 = jnp.where(bad, mk0[ref], mk0)
-    starts0 = jnp.where(bad[:, None, None], starts0[ref][None], starts0)
+    if tables[0].ndim == 2:
+        # shared tables: lanes with infeasible seeds restart from the best
+        # feasible lane. With per-lane tables lanes belong to DIFFERENT
+        # instances, so borrowing another lane's order would be nonsense —
+        # infeasible seeds stay priced INT32_MAX and simply never move
+        # (seed orders derived from real schedules are always feasible).
+        ref = jnp.argmin(mk0)
+        bad = mk0 == _I32_MAX
+        orders0 = jnp.where(bad[:, None, None], orders0[ref][None], orders0)
+        mk0 = jnp.where(bad, mk0[ref], mk0)
+        starts0 = jnp.where(bad[:, None, None], starts0[ref][None], starts0)
     B, M, J = orders0.shape
     rtables = reverse_tables(tables)
     tails0 = _tails(rtables, orders0)
@@ -570,6 +598,13 @@ def _tabu_chunk(tables, chunk_carry, i0, n, P, tenure_min, tenure_spread):
     B, M, J = cur[0].shape
     rtables = reverse_tables(tables)
     j2 = J * J
+    # per-lane tables must follow the proposal fan-out: proposal lane b*P+p
+    # belongs to chain b, so repeat each table row P times
+    tabP = (
+        tuple(jnp.repeat(t, P, axis=0) for t in tables)
+        if tables[0].ndim == 3
+        else tables
+    )
 
     def body(i, carry):
         rng, (orders, mk, starts, tails), tabu, (best_orders, best_mk) = carry
@@ -591,7 +626,7 @@ def _tabu_chunk(tables, chunk_carry, i0, n, P, tenure_min, tenure_spread):
             B * P, M, J
         )
         prop = _swap_adjacent(ordP, msel.reshape(-1), p.reshape(-1))
-        mk_p, starts_p = _sweep(tables, prop)
+        mk_p, starts_p = _sweep(tabP, prop)
         mk_p = mk_p.reshape(B, P)
 
         # move attribute of proposal (u before v -> v before u): flat index

@@ -148,3 +148,66 @@ def test_noncritical_adjacent_swaps_never_improve():
         # and the candidate set is exactly the both-critical adjacent pairs
         expect = crit[:, :-1] & crit[:, 1:]
         assert (cand[:, :-1] == expect).all() and not cand[:, -1].any()
+
+
+def test_batched_tables_match_shared_tables():
+    """Per-lane (B, J, M) tables: evaluating lanes of DIFFERENT instances in
+    one sweep must equal per-instance evaluation with shared tables — for
+    the evaluator, criticality, SA, and tabu entry points."""
+    import jax
+
+    names = ["ta01", "ta02", "ta03"]
+    shared = {}
+    orders = {}
+    for name in names:
+        state, tables = _tables(name)
+        shared[name] = tables
+        sol = solve.solve(inst.get_instance(name), batch=16, sweeps=1, seed=1)
+        om = jnp.asarray(state.op_machine, jnp.int32)
+        orders[name] = anneal.orders_from_solutions(
+            jnp.asarray(state.op_pos, jnp.int32),
+            jnp.asarray(np.stack([sol.solution, sol.solution])),
+        )
+
+    # stack: 2 lanes per instance, 6 lanes total
+    stacked_orders = jnp.concatenate([orders[n] for n in names])
+    stack = lambda i: jnp.concatenate(
+        [jnp.repeat(shared[n][i][None], 2, axis=0) for n in names]
+    )
+    btables = (stack(0), stack(1), stack(2))
+
+    mk_b = np.asarray(anneal.evaluate_orders(btables, stacked_orders))
+    for k, name in enumerate(names):
+        mk_s = np.asarray(anneal.evaluate_orders(shared[name], orders[name]))
+        np.testing.assert_array_equal(mk_b[2 * k : 2 * k + 2], mk_s)
+
+    # critical pairs agree lane-for-lane
+    for k, name in enumerate(names):
+        mk, starts = anneal._sweep(shared[name], orders[name])
+        cp_s = np.asarray(anneal.critical_pairs(
+            shared[name], anneal.reverse_tables(shared[name]),
+            orders[name], mk, starts,
+        ))
+        mk2, starts2 = anneal._sweep(btables, stacked_orders)
+        cp_b = np.asarray(anneal.critical_pairs(
+            btables, anneal.reverse_tables(btables),
+            stacked_orders, mk2, starts2,
+        ))[2 * k : 2 * k + 2]
+        np.testing.assert_array_equal(cp_b, cp_s)
+
+    # tabu over the mixed batch improves (or holds) every instance and the
+    # per-instance bests replay-certify
+    bo, bmk = anneal.tabu_search(btables, stacked_orders, 3, iters=60,
+                                 proposals=4)
+    bmk = np.asarray(bmk)
+    for k, name in enumerate(names):
+        lanes = slice(2 * k, 2 * k + 2)
+        assert bmk[lanes].min() <= np.asarray(
+            anneal.evaluate_orders(shared[name], orders[name])
+        ).min()
+        lane = 2 * k + int(np.argmin(bmk[lanes]))
+        mk_cert, _ = replay.replay_machine_order(
+            inst.get_instance(name), np.asarray(bo[lane]).tolist(),
+            backend="auto",
+        )
+        assert mk_cert == int(bmk[lane])
