@@ -526,6 +526,79 @@ def _anneal_chunk(tables, chunk_carry, i0, n, iters, t0_frac, t1_frac,
 # tenure.
 
 
+def _neighbor_bounds(tables, orders, starts, tails, dur_rank):
+    """Per-rank job-neighbor path bounds for the O(1) swap estimator.
+
+    Returns ``(JPend, JStail)``, both (B, M, J) in RANK layout:
+    ``JPend[b, m, r]`` = completion time of the JOB predecessor of the op at
+    machine m rank r (0 for a job's first op); ``JStail[b, m, r]`` = tail
+    length THROUGH the job successor, i.e. dur(js) + tail(js) (0 for a
+    job's last op). Machine neighbors need no lookup — they are rank shifts.
+
+    Pure layout transforms: rank->job via the inverse permutation
+    (argsort of the order rows), job-position shifts for predecessor/
+    successor, then back to rank layout. All gathers ride tiny J/M axes
+    once per tabu iteration (the sweeps dominate).
+    """
+    op_machine, op_pos, _ = tables
+    B, M, J = orders.shape
+    end_rank = starts + dur_rank
+    T_rank = dur_rank + tails
+    rank_of = jnp.argsort(orders, axis=2)  # inverse permutation (B, M, Jjob)
+    E_mj = jnp.take_along_axis(end_rank, rank_of, axis=2)
+    T_mj = jnp.take_along_axis(T_rank, rank_of, axis=2)
+    om_b = jnp.broadcast_to(
+        op_machine if op_machine.ndim == 3 else op_machine[None], (B, J, M)
+    )
+    op_pos_b = jnp.broadcast_to(
+        op_pos if op_pos.ndim == 3 else op_pos[None], (B, J, M)
+    )
+    # (m, job) -> (job, position): X_jpos[b, j, k] = X_mj[b, om[j, k], j]
+    E_jpos = jnp.take_along_axis(jnp.swapaxes(E_mj, 1, 2), om_b, axis=2)
+    T_jpos = jnp.take_along_axis(jnp.swapaxes(T_mj, 1, 2), om_b, axis=2)
+    zeros1 = jnp.zeros((B, J, 1), starts.dtype)
+    JPend_jpos = jnp.concatenate([zeros1, E_jpos[..., :-1]], axis=2)
+    JStail_jpos = jnp.concatenate([T_jpos[..., 1:], zeros1], axis=2)
+    # (job, position) -> (job, machine) -> rank
+    JPend_jm = jnp.take_along_axis(JPend_jpos, op_pos_b, axis=2)
+    JStail_jm = jnp.take_along_axis(JStail_jpos, op_pos_b, axis=2)
+    JPend = jnp.take_along_axis(jnp.swapaxes(JPend_jm, 1, 2), orders, axis=2)
+    JStail = jnp.take_along_axis(jnp.swapaxes(JStail_jm, 1, 2), orders, axis=2)
+    return JPend, JStail
+
+
+def _swap_estimates(tables, orders, starts, tails, dur_rank):
+    """(B, M, J) estimated post-swap makespans for EVERY adjacent pair
+    (r, r+1): the length of the longest path through the swapped pair,
+    computed from the pair's job/machine neighbor heads and tails (Taillard's
+    classic accelerated evaluation for the Nowicki-Smutnicki neighborhood).
+
+    Exact whenever the new critical path passes through the pair and the
+    neighbors' heads/tails are unaffected by the swap (the common case);
+    used for move SELECTION only — the applied move is re-priced by an
+    exact sweep, so best-tracking and certification never see an estimate.
+    Entries at r = J-1 are meaningless (no pair).
+    """
+    JPend, JStail = _neighbor_bounds(tables, orders, starts, tails, dur_rank)
+    end_rank = starts + dur_rank
+    T_rank = dur_rank + tails
+    B, M, J = orders.shape
+    z1 = jnp.zeros((B, M, 1), starts.dtype)
+    MPend = jnp.concatenate([z1, end_rank[..., :-1]], axis=2)  # end of r-1
+    MStail = jnp.concatenate(
+        [T_rank[..., 2:], z1, z1], axis=2
+    )  # T of rank r+2, 0 past the end
+    d_u = dur_rank
+    d_v = jnp.roll(dur_rank, -1, axis=2)
+    JP_v = jnp.roll(JPend, -1, axis=2)
+    JS_v = jnp.roll(JStail, -1, axis=2)
+    hv = jnp.maximum(JP_v, MPend)  # v first after the swap
+    hu = jnp.maximum(JPend, hv + d_v)
+    tu = jnp.maximum(JStail, MStail)  # u last after the swap
+    tv = jnp.maximum(JS_v, d_u + tu)
+    return jnp.maximum(hv + d_v + tv, hu + d_u + tu)
+
+
 def tabu_search(
     tables,
     orders0: jax.Array,
@@ -534,6 +607,7 @@ def tabu_search(
     proposals: int = 8,
     tenure_min: int = 8,
     tenure_spread: int = 6,
+    neighborhood: str = "sampled",
 ) -> Tuple[jax.Array, jax.Array]:
     """Refine an order batch by parallel tabu search; returns
     (best_orders (B, M, J), best_makespans (B,)).
@@ -555,14 +629,28 @@ def tabu_search(
     selecting per-iteration moves from a P-wide priced neighborhood instead
     of Metropolis-accepting a single sample. Runs in bounded device-call
     chunks (_CHUNK) like ``anneal()``.
+
+    ``neighborhood="full"`` replaces the P sampled-and-swept proposals with
+    Taillard's O(1) path-through-the-pair estimate over the ENTIRE
+    critical-pair candidate set (``_swap_estimates``); only the selected
+    move is priced exactly (one B-lane sweep). Stronger selection at ~2
+    B-lane sweeps per iteration total; ``proposals`` is ignored.
     """
+    if neighborhood not in ("sampled", "full"):
+        raise ValueError(f"bad neighborhood {neighborhood!r}")
     carry = _tabu_init(tables, orders0, seed)
     for i0 in range(0, int(iters), _CHUNK):
         n = min(_CHUNK, int(iters) - i0)
-        carry = _tabu_chunk(
-            tables, carry, jnp.int32(i0), n, int(proposals),
-            int(tenure_min), int(tenure_spread),
-        )
+        if neighborhood == "full":
+            carry = _tabu_chunk_full(
+                tables, carry, jnp.int32(i0), n,
+                int(tenure_min), int(tenure_spread),
+            )
+        else:
+            carry = _tabu_chunk(
+                tables, carry, jnp.int32(i0), n, int(proposals),
+                int(tenure_min), int(tenure_spread),
+            )
     _, _, _, (best_orders, best_mk) = carry
     return best_orders, best_mk
 
@@ -681,6 +769,93 @@ def _tabu_chunk(tables, chunk_carry, i0, n, P, tenure_min, tenure_spread):
         best_orders = jnp.where(better[:, None, None], orders, best_orders)
         best_mk = jnp.where(better, mk, best_mk)
 
+        tails = _tails(rtables, orders)
+        return rng, (orders, mk, starts, tails), tabu, (best_orders, best_mk)
+
+    rng, cur, tabu, best = jax.lax.fori_loop(
+        0, n, body, (rng, cur, tabu, best)
+    )
+    return rng, cur, tabu, best
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _tabu_chunk_full(tables, chunk_carry, i0, n, tenure_min, tenure_spread):
+    """Full-neighborhood tabu iteration (see tabu_search docstring):
+    estimate EVERY critical-pair swap in O(1) each, pick the best
+    admissible, price only the applied move exactly."""
+    rng, cur, tabu, best = chunk_carry
+    B, M, J = cur[0].shape
+    rtables = reverse_tables(tables)
+    j2 = J * J
+    dur_T = (
+        tables[2].T[None]
+        if tables[2].ndim == 2
+        else jnp.swapaxes(tables[2], -1, -2)
+    )
+
+    def body(i, carry):
+        rng, (orders, mk, starts, tails), tabu, (best_orders, best_mk) = carry
+        it = i0 + i
+        rng, k_rand, k_jit = jax.random.split(rng, 3)
+
+        dur_rank = jnp.take_along_axis(
+            jnp.broadcast_to(dur_T, (B, M, J)), orders, axis=2
+        )
+        est = _swap_estimates(tables, orders, starts, tails, dur_rank)
+        crit = _critical_ops(tables, orders, mk, starts, tails)
+        cand = (crit & jnp.roll(crit, -1, axis=2)).at[:, :, J - 1].set(False)
+
+        # tabu status of every pair: attribute (m, u_job, v_job)
+        u_j = orders
+        v_j = jnp.roll(orders, -1, axis=2)
+        m_iota = jnp.arange(M, dtype=jnp.int32)[None, :, None]
+        attr_fwd = (m_iota * j2 + u_j * J + v_j).reshape(B, M * J)
+        is_tabu = (
+            jnp.take_along_axis(tabu, attr_fwd, axis=1).reshape(B, M, J) > it
+        )
+        aspire = est < best_mk[:, None, None]
+        admissible = cand & (~is_tabu | aspire)
+
+        flat_adm = jnp.where(admissible, est, _I32_MAX).reshape(B, M * J)
+        flat_cand = jnp.where(cand, est, _I32_MAX).reshape(B, M * J)
+        any_adm = jnp.any(admissible, axis=(1, 2))
+        has_cand = jnp.any(cand, axis=(1, 2))
+        pick = jnp.where(
+            any_adm,
+            jnp.argmin(flat_adm, axis=1),
+            jnp.argmin(flat_cand, axis=1),  # all-tabu: least-bad estimate
+        ).astype(jnp.int32)
+        # no critical pair at all (already-optimal-ish lane): random pair
+        msel_r = jax.random.randint(k_rand, (B,), 0, M, dtype=jnp.int32)
+        p_r = jax.random.randint(k_jit, (B,), 0, J - 1, dtype=jnp.int32)
+        msel = jnp.where(has_cand, pick // J, msel_r)
+        p = jnp.where(has_cand, pick % J, p_r)
+
+        prop = _swap_adjacent(orders, msel, p)
+        mk_p, starts_p = _sweep(tables, prop)  # exact pricing, applied move
+        movable = mk_p < _I32_MAX  # random fallback swaps may be infeasible
+        mv3 = movable[:, None, None]
+
+        # tabu the inverse move (jobs read from the PRE-swap orders)
+        rng, k_ten = jax.random.split(rng)
+        row = jnp.take_along_axis(orders, msel[:, None, None], axis=1)[:, 0, :]
+        u = jnp.take_along_axis(row, p[:, None], axis=1)[:, 0]
+        v = jnp.take_along_axis(row, (p + 1)[:, None], axis=1)[:, 0]
+        attr_inv = msel * j2 + v * J + u
+        tenure = tenure_min + (
+            jax.random.randint(k_ten, (B,), 0, max(tenure_spread, 1))
+            if tenure_spread > 0
+            else 0
+        )
+        new_until = jnp.where(movable, it + 1 + tenure, 0)
+        tabu = tabu.at[jnp.arange(B), attr_inv].max(new_until)
+
+        orders = jnp.where(mv3, prop, orders)
+        mk = jnp.where(movable, mk_p, mk)
+        starts = jnp.where(mv3, starts_p, starts)
+        better = mk < best_mk
+        best_orders = jnp.where(better[:, None, None], orders, best_orders)
+        best_mk = jnp.where(better, mk, best_mk)
         tails = _tails(rtables, orders)
         return rng, (orders, mk, starts, tails), tabu, (best_orders, best_mk)
 

@@ -110,6 +110,7 @@ def solve(
     refine_method: str = "anneal",
     tabu_chains: int = 128,
     tabu_proposals: int = 8,
+    tabu_neighborhood: str = "sampled",
 ) -> SolveResult:
     """Search for a low-makespan schedule with ``batch`` parallel noisy
     rollouts for ``sweeps`` episodes each, fully on device.
@@ -186,7 +187,7 @@ def solve(
         result = _refine(
             state, best_sol, result, int(refine_iters), seed,
             float(anneal_t0), float(anneal_t1), refine_method,
-            int(tabu_chains), int(tabu_proposals),
+            int(tabu_chains), int(tabu_proposals), tabu_neighborhood,
         )
     return result
 
@@ -217,7 +218,8 @@ def top_k_distinct_orders(orders, mks, k: int) -> jnp.ndarray:
 
 def _refine(state, best_sol, rollout_result, iters, seed,
             t0_frac=0.08, t1_frac=0.004, method="anneal",
-            tabu_chains=128, tabu_proposals=8) -> SolveResult:
+            tabu_chains=128, tabu_proposals=8,
+            tabu_neighborhood="sampled") -> SolveResult:
     """Refine rollout schedules in order space (SA or tabu search) and
     certify the refined winner through the exact engine (module docstring)."""
     import time
@@ -237,7 +239,7 @@ def _refine(state, best_sol, rollout_result, iters, seed,
         seeds_k = top_k_distinct_orders(orders_all, mks_all, tabu_chains)
         best_orders, best_mk = anneal.tabu_search(
             tables, seeds_k, jnp.asarray(seed, jnp.uint32) + 1, iters,
-            proposals=tabu_proposals,
+            proposals=tabu_proposals, neighborhood=tabu_neighborhood,
         )
     else:
         orders0 = anneal.orders_from_solutions(op_pos, jnp.asarray(best_sol))

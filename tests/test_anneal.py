@@ -211,3 +211,91 @@ def test_batched_tables_match_shared_tables():
             backend="auto",
         )
         assert mk_cert == int(bmk[lane])
+
+
+def test_neighbor_bounds_match_bruteforce():
+    """JPend/JStail rank layouts (the O(1) swap estimator's inputs) vs a
+    direct numpy recomputation from the schedule and instance data."""
+    for seed in (0, 1):
+        spec = inst.random_instance(6, 5, duration_range=(1, 20), seed=seed)
+        state = engine.state_from_spec(spec)
+        tables = anneal.schedule_tables(
+            state.op_machine, state.op_dur, state.op_pos
+        )
+        sol = solve.solve(spec, batch=8, sweeps=1, seed=seed)
+        orders = anneal.orders_from_solutions(
+            jnp.asarray(state.op_pos, jnp.int32),
+            jnp.asarray(sol.solution)[None],
+        )
+        mk, starts = anneal._sweep(tables, orders)
+        tails = anneal._tails(anneal.reverse_tables(tables), orders)
+        J, M = spec.num_jobs, spec.num_machines
+        om = np.asarray(spec.op_machine)
+        od = np.asarray(spec.op_dur)
+        orders_h = np.asarray(orders)[0]
+        starts_h = np.asarray(starts)[0]
+        tails_h = np.asarray(tails)[0]
+        dur_T = np.asarray(tables[2]).T  # (M, J) dur of job j on machine m
+        dur_rank = np.take_along_axis(
+            np.broadcast_to(dur_T, (M, J)), orders_h, axis=1
+        )
+        JP, JS = anneal._neighbor_bounds(
+            tables, orders, starts, tails, jnp.asarray(dur_rank)[None]
+        )
+        JP, JS = np.asarray(JP)[0], np.asarray(JS)[0]
+
+        # brute force per (machine, rank)
+        # start of job j's op on machine m:
+        start_jm = np.zeros((J, M), np.int64)
+        for m in range(M):
+            for r in range(J):
+                start_jm[orders_h[m, r], m] = starts_h[m, r]
+        tail_jm = np.zeros((J, M), np.int64)
+        for m in range(M):
+            for r in range(J):
+                tail_jm[orders_h[m, r], m] = tails_h[m, r]
+        for m in range(M):
+            for r in range(J):
+                j = orders_h[m, r]
+                k = int(np.where(om[j] == m)[0][0])
+                if k == 0:
+                    exp_jp = 0
+                else:
+                    pm = om[j][k - 1]
+                    exp_jp = start_jm[j, pm] + od[j][k - 1]
+                assert JP[m, r] == exp_jp, (m, r, JP[m, r], exp_jp)
+                if k == M - 1:
+                    exp_js = 0
+                else:
+                    sm = om[j][k + 1]
+                    exp_js = tail_jm[j, sm] + od[j][k + 1]
+                assert JS[m, r] == exp_js, (m, r, JS[m, r], exp_js)
+
+
+def test_tabu_full_neighborhood_improves_and_is_exact_on_best():
+    """neighborhood='full': best_mk is always the EXACT makespan of
+    best_orders (estimates only steer selection), and holds the optimum."""
+    state, tables = _tables("ta01")
+    opt_orders = jnp.repeat(
+        jnp.asarray(np.array(GOLDEN["ta01"]["machine_order"], np.int32))[None],
+        4, 0,
+    )
+    _, best = anneal.tabu_search(
+        tables, opt_orders, jnp.uint32(0), 60, neighborhood="full"
+    )
+    assert (np.asarray(best) == 1231).all()
+
+    spec = inst.random_instance(10, 6, duration_range=(1, 30), seed=11)
+    st = engine.state_from_spec(spec)
+    tb = anneal.schedule_tables(st.op_machine, st.op_dur, st.op_pos)
+    sol = solve.solve(spec, batch=32, sweeps=2, seed=2)
+    orders0 = anneal.orders_from_solutions(
+        jnp.asarray(st.op_pos, jnp.int32),
+        jnp.repeat(jnp.asarray(sol.solution)[None], 8, 0),
+    )
+    bo, bmk = anneal.tabu_search(tb, orders0, 5, iters=120,
+                                 neighborhood="full")
+    assert int(jnp.min(bmk)) <= sol.makespan
+    np.testing.assert_array_equal(
+        np.asarray(anneal.evaluate_orders(tb, bo)), np.asarray(bmk)
+    )

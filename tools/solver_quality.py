@@ -56,6 +56,8 @@ def main() -> int:
     p.add_argument("--sweeps", type=int, default=3)
     p.add_argument("--chains", type=int, default=128)
     p.add_argument("--proposals", type=int, default=8)
+    p.add_argument("--neighborhood", choices=["sampled", "full"],
+                   default="sampled")
     p.add_argument("--anneal-t0", type=float, default=0.015)
     p.add_argument("--anneal-t1", type=float, default=0.001)
     p.add_argument("--seeds", type=int, nargs="+", default=[0])
@@ -74,6 +76,7 @@ def main() -> int:
             refine_iters=iters, refine_method=args.method,
             anneal_t0=args.anneal_t0, anneal_t1=args.anneal_t1,
             tabu_chains=args.chains, tabu_proposals=args.proposals,
+            tabu_neighborhood=args.neighborhood,
         )
         return res, time.time() - t0
 
@@ -128,8 +131,8 @@ def main() -> int:
         "config": (
             f"method={args.method} batch={args.batch} sweeps={args.sweeps} "
             f"iters={args.iters} chains={args.chains} "
-            f"proposals={args.proposals} t={args.anneal_t0}/{args.anneal_t1} "
-            f"seeds={args.seeds}"
+            f"proposals={args.proposals} neighborhood={args.neighborhood} "
+            f"t={args.anneal_t0}/{args.anneal_t1} seeds={args.seeds}"
         ),
         "compile_s": compile_s,
         "mean_gap": mean("gap_pct"),
