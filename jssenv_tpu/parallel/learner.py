@@ -100,13 +100,17 @@ def make_optimizer(config: LearnerConfig) -> optax.GradientTransformation:
 
 
 def init_train_state(
-    rng: jax.Array, env_state: EnvState, config: LearnerConfig
+    rng: jax.Array, env_state: EnvState, config: LearnerConfig,
+    params: Any = None,
 ) -> TrainState:
-    """env_state: batched (B, ...) EnvState."""
+    """env_state: batched (B, ...) EnvState. ``params`` warm-starts from an
+    existing checkpoint (e.g. distillation pretraining, jssenv_tpu.distill)
+    instead of a fresh init."""
     model = make_model(env_state, config)
-    obs0 = obs_batch(env_state, config)[0]
-    mask0 = jax.vmap(EnvState.action_mask)(env_state)[0]
-    params = model.init(rng, obs0, mask0, valid_batch(env_state)[0])
+    if params is None:
+        obs0 = obs_batch(env_state, config)[0]
+        mask0 = jax.vmap(EnvState.action_mask)(env_state)[0]
+        params = model.init(rng, obs0, mask0, valid_batch(env_state)[0])
     opt_state = make_optimizer(config).init(params)
     return TrainState(
         params=params,
@@ -510,18 +514,20 @@ def train(
     log_every: int = 10,
     log_fn=print,
     light: bool = True,
+    init_params=None,
 ):
     """Host convenience loop: build envs, shard, and run train steps.
 
     ``light=True`` (default) drops the solution start-time matrix from the
     env state — training never reads it, and it is the largest rollout-carry
-    tensor (vector.strip_solution)."""
+    tensor (vector.strip_solution). ``init_params`` warm-starts the policy
+    (distillation fine-tune path)."""
     config = config or LearnerConfig()
     env_state = vector.make_batch(source, batch_size)
     if light:
         env_state = vector.strip_solution(env_state)
     rng = jax.random.key(seed)
-    ts = init_train_state(rng, env_state, config)
+    ts = init_train_state(rng, env_state, config, params=init_params)
     if mesh is not None:
         ts = shard_train_state(ts, mesh)
     # no donation: freshly-initialized states can alias identical zero
