@@ -193,15 +193,17 @@ def main() -> None:
 
     record = run_config(args.instance, args.batch, args.steps)
 
-    # BASELINE config #4 (ragged ta41-ta50 set) rides along as a nested
-    # record so stdout stays ONE JSON line for the driver. 10240 = 10
-    # instances x 1024 lanes: equal instance-major groups, so the fused
-    # kernel's per-tile table selection applies to the ragged set too.
+    # Extra configs ride along as nested records so stdout stays ONE JSON
+    # line for the driver: BASELINE config #4 (ragged ta41-ta50; 10240 = 10
+    # instances x 1024 lanes, equal instance-major groups) and the largest
+    # reference family (ta71, 100x20 — the kernel's small-tile regime).
     if args.instance == "ta01" and backend != "cpu" and not args.no_extra:
-        try:
-            record["extra"] = [run_config("ta41-ta50", 10240, args.steps)]
-        except Exception as e:  # never let the extra config sink the primary
-            log(f"extra config failed: {e}")
+        record["extra"] = []
+        for spec_, batch_ in (("ta41-ta50", 10240), ("ta71", 8192)):
+            try:
+                record["extra"].append(run_config(spec_, batch_, args.steps))
+            except Exception as e:  # never let an extra sink the primary
+                log(f"extra config {spec_} failed: {e}")
 
     print(json.dumps(record))
 

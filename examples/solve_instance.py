@@ -50,6 +50,19 @@ def main() -> int:
     p.add_argument("--anneal-t1", type=float, default=0.004,
                    help="annealing end temperature fraction (0.001 for "
                         "big-budget 30x20 runs)")
+    p.add_argument("--method", choices=["anneal", "tabu"], default="tabu",
+                   help="refinement engine; tabu (default) reached 5.7%% on "
+                        "ta41 at 50k iters vs anneal's 10%% at equal budget "
+                        "(docs/BENCHMARKS.md round-5 solver notes)")
+    p.add_argument("--chains", type=int, default=128,
+                   help="tabu chains (seeded from the top-K distinct "
+                        "rollout schedules)")
+    p.add_argument("--proposals", type=int, default=8,
+                   help="sampled critical-pair proposals per tabu iteration")
+    p.add_argument("--neighborhood", choices=["sampled", "full"],
+                   default="sampled",
+                   help="tabu move selection: P sampled swept proposals, or "
+                        "the full candidate set via O(1) path estimates")
     p.add_argument("--gantt", default=None,
                    help="save a Gantt chart of the best schedule to this path")
     args = p.parse_args()
@@ -69,6 +82,10 @@ def main() -> int:
         refine_iters=args.refine,
         anneal_t0=args.anneal_t0,
         anneal_t1=args.anneal_t1,
+        refine_method=args.method,
+        tabu_chains=args.chains,
+        tabu_proposals=args.proposals,
+        tabu_neighborhood=args.neighborhood,
     )
     dt = time.time() - t0
 
