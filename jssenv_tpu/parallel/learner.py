@@ -57,6 +57,13 @@ class LearnerConfig:
     # size-locked); "perjob" = PerJobPolicyNet (shared per-job scorer +
     # pooled context — one checkpoint runs any (J, M); VERDICT r4)
     arch: str = struct.field(pytree_node=False, default="flat")
+    # REINFORCE loss-gradient accumulation: split the (T, B) trajectory into
+    # this many equal T-chunks and sum per-chunk grads. The loss is a mean
+    # over (T, B) elements, so equal chunks give BITWISE-equivalent-up-to-
+    # float-reassociation gradients while dividing the backward activation
+    # footprint by the chunk count — full-episode unrolls (T=640 at 30x20)
+    # with the perjob arch would otherwise hold T*B*J*hidden activations.
+    loss_chunks: int = struct.field(pytree_node=False, default=1)
 
 
 @struct.dataclass
@@ -214,22 +221,59 @@ def make_train_step(
         )
         rets = _returns(traj, config)
 
-        def loss_fn(params):
+        def loss_fn(params, traj_c, rets_c):
             logits, values = model.apply(
-                params, traj["obs"], traj["mask"], traj["valid"]
+                params, traj_c["obs"], traj_c["mask"], traj_c["valid"]
             )
             logp_all = jax.nn.log_softmax(logits, axis=-1)
             logp = jnp.take_along_axis(
-                logp_all, traj["action"][..., None], axis=-1
+                logp_all, traj_c["action"][..., None], axis=-1
             )[..., 0]
-            adv = jax.lax.stop_gradient(rets - values)
+            adv = jax.lax.stop_gradient(rets_c - values)
             pg_loss = -jnp.mean(logp * adv)
-            v_loss = jnp.mean((values - rets) ** 2)
-            ent = _entropy(logp_all, traj["mask"])
+            v_loss = jnp.mean((values - rets_c) ** 2)
+            ent = _entropy(logp_all, traj_c["mask"])
             loss = pg_loss + config.value_coef * v_loss - config.entropy_coef * ent
             return loss, dict(pg_loss=pg_loss, v_loss=v_loss, entropy=ent)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        nc = int(config.loss_chunks)
+        if nc <= 1:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                ts.params, traj, rets
+            )
+        else:
+            # equal T-chunks -> the full-batch mean is the mean of chunk
+            # means, so summed-then-averaged chunk grads equal the one-shot
+            # grads (up to float reassociation) at 1/nc the backward memory
+            T = rets.shape[0]
+            if T % nc != 0:
+                raise ValueError(
+                    f"loss_chunks ({nc}) must divide unroll_steps ({T})"
+                )
+            tc = T // nc
+            fields = ("obs", "mask", "valid", "action")
+
+            def chunk_body(carry, i):
+                loss_a, aux_a, grads_a = carry
+                sl = lambda v: jax.lax.dynamic_slice_in_dim(v, i * tc, tc, 0)
+                traj_c = {k: sl(traj[k]) for k in fields}
+                (l, a), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    ts.params, traj_c, sl(rets)
+                )
+                return (
+                    loss_a + l,
+                    jax.tree.map(jnp.add, aux_a, a),
+                    jax.tree.map(jnp.add, grads_a, g),
+                ), None
+
+            zero_aux = dict(pg_loss=0.0, v_loss=0.0, entropy=0.0)
+            zero_g = jax.tree.map(jnp.zeros_like, ts.params)
+            (loss, aux, grads), _ = jax.lax.scan(
+                chunk_body, (0.0, zero_aux, zero_g), jnp.arange(nc)
+            )
+            loss, aux, grads = jax.tree.map(
+                lambda x: x / nc, (loss, aux, grads)
+            )
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         metrics = dict(

@@ -304,3 +304,28 @@ def test_perjob_ppo_step_runs():
     step = jax.jit(learner.make_train_step(cfg))
     ts2, metrics = step(ts)
     assert int(ts2.steps) == 1 and np.isfinite(float(metrics["loss"]))
+
+
+def test_loss_chunks_match_one_shot_grads():
+    """loss_chunks accumulation is numerically equivalent to the one-shot
+    loss (equal chunks; same rollout rng) while bounding backward memory."""
+    env_state = vector.make_batch(inst.get_instance("ta01"), 8)
+    base = learner.LearnerConfig(unroll_steps=8, hidden=(32, 32), arch="perjob")
+    chunked = learner.LearnerConfig(
+        unroll_steps=8, hidden=(32, 32), arch="perjob", loss_chunks=4
+    )
+    ts0 = learner.init_train_state(jax.random.key(0), env_state, base)
+    ts1 = learner.init_train_state(jax.random.key(0), env_state, chunked)
+    a0, m0 = jax.jit(learner.make_train_step(base))(ts0)
+    a1, m1 = jax.jit(learner.make_train_step(chunked))(ts1)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
+    # adam divides by sqrt(nu): near-zero grads amplify float reassociation
+    # differences into the params, so the match is close-not-bitwise
+    for l0, l1 in zip(jax.tree.leaves(a0.params), jax.tree.leaves(a1.params)):
+        np.testing.assert_allclose(
+            np.asarray(l0), np.asarray(l1), rtol=5e-3, atol=5e-5
+        )
+    with pytest.raises(ValueError):
+        bad = learner.LearnerConfig(unroll_steps=6, loss_chunks=4)
+        ts = learner.init_train_state(jax.random.key(1), env_state, bad)
+        jax.jit(learner.make_train_step(bad))(ts)
