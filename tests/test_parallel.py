@@ -329,3 +329,33 @@ def test_loss_chunks_match_one_shot_grads():
         bad = learner.LearnerConfig(unroll_steps=6, loss_chunks=4)
         ts = learner.init_train_state(jax.random.key(1), env_state, bad)
         jax.jit(learner.make_train_step(bad))(ts)
+
+
+def test_cross_family_policy_checkpoint():
+    """The shipped size-invariant checkpoint (models_data/ta_cross_policy.npz,
+    perjob arch, trained 600 updates on a mixed ta01-08 + ta41-48 ragged
+    batch) must keep beating the best greedy dispatching rule on a trained
+    30x20 instance AND a held-out 15x15 instance — one set of weights, both
+    families (round-5 on-chip table in docs/BENCHMARKS.md: 11/16 trained,
+    3/4 held-out)."""
+    import os
+
+    from jssenv_tpu import checkpoint
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "models_data", "ta_cross_policy.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("trained checkpoint not present")
+    cfg = learner.LearnerConfig(hidden=(128, 128), arch="perjob",
+                                features="rich")
+    template = learner.init_train_state(
+        jax.random.key(0), vector.make_batch(inst.get_instance("ta41"), 2), cfg
+    ).params
+    params = checkpoint.load(path, template)
+    # ta45 (trained family): best greedy rule lands 2487 (MOR)
+    r45 = learner.evaluate_policy(params, inst.get_instance("ta45"), cfg)
+    assert r45["greedy_makespan"] < 2487
+    # ta09 (HELD OUT): best greedy rule lands 1541 (MWR)
+    r09 = learner.evaluate_policy(params, inst.get_instance("ta09"), cfg)
+    assert r09["greedy_makespan"] < 1541
