@@ -608,6 +608,7 @@ def tabu_search(
     tenure_min: int = 8,
     tenure_spread: int = 6,
     neighborhood: str = "sampled",
+    guided_temp: float = 4.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Refine an order batch by parallel tabu search; returns
     (best_orders (B, M, J), best_makespans (B,)).
@@ -635,8 +636,15 @@ def tabu_search(
     critical-pair candidate set (``_swap_estimates``); only the selected
     move is priced exactly (one B-lane sweep). Stronger selection at ~2
     B-lane sweeps per iteration total; ``proposals`` is ignored.
+
+    ``neighborhood="guided"`` is the hybrid: estimate every critical pair
+    as in "full", then draw the P exactly-priced proposals by Gumbel-top-P
+    over ``-estimate / guided_temp`` instead of uniformly — estimator
+    selection pressure plus the sampling noise that breaks "full"-mode's
+    limit cycles. ``guided_temp`` (makespan units) sets how sharply the
+    draw prefers low estimates.
     """
-    if neighborhood not in ("sampled", "full"):
+    if neighborhood not in ("sampled", "full", "guided"):
         raise ValueError(f"bad neighborhood {neighborhood!r}")
     carry = _tabu_init(tables, orders0, seed)
     for i0 in range(0, int(iters), _CHUNK):
@@ -650,6 +658,7 @@ def tabu_search(
             carry = _tabu_chunk(
                 tables, carry, jnp.int32(i0), n, int(proposals),
                 int(tenure_min), int(tenure_spread),
+                float(guided_temp) if neighborhood == "guided" else None,
             )
     _, _, _, (best_orders, best_mk) = carry
     return best_orders, best_mk
@@ -680,8 +689,11 @@ def _tabu_init(tables, orders0, seed):
     return rng, (orders0, mk0, starts0, tails0), tabu, (orders0, mk0)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _tabu_chunk(tables, chunk_carry, i0, n, P, tenure_min, tenure_spread):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _tabu_chunk(
+    tables, chunk_carry, i0, n, P, tenure_min, tenure_spread,
+    guided_temp=None,
+):
     rng, cur, tabu, best = chunk_carry
     B, M, J = cur[0].shape
     rtables = reverse_tables(tables)
@@ -693,6 +705,11 @@ def _tabu_chunk(tables, chunk_carry, i0, n, P, tenure_min, tenure_spread):
         if tables[0].ndim == 3
         else tables
     )
+    dur_T = (
+        tables[2].T[None]
+        if tables[2].ndim == 2
+        else jnp.swapaxes(tables[2], -1, -2)
+    )
 
     def body(i, carry):
         rng, (orders, mk, starts, tails), tabu, (best_orders, best_mk) = carry
@@ -700,10 +717,35 @@ def _tabu_chunk(tables, chunk_carry, i0, n, P, tenure_min, tenure_spread):
         rng, k_cand, k_rand, k_ten = jax.random.split(rng, 4)
         crit = _critical_ops(tables, orders, mk, starts, tails)
         cand = (crit & jnp.roll(crit, -1, axis=2)).at[:, :, J - 1].set(False)
-        flat = jnp.broadcast_to(cand.reshape(B, 1, M * J), (B, P, M * J))
-        idx, has = jax.vmap(_sample_true, in_axes=(0, 1), out_axes=1)(
-            jax.random.split(k_cand, P), flat
-        )  # (B, P)
+        if guided_temp is not None:
+            # guided sampling (Gumbel-top-P over Taillard estimates): the
+            # full-neighborhood estimator prices every critical pair in
+            # O(1), but its deterministic argmin limit-cycles (see
+            # tabu_search docstring / docs/BENCHMARKS.md). Perturbing the
+            # estimate scores with Gumbel noise and taking the top P keeps
+            # the estimator's selection pressure while restoring the
+            # stochasticity that breaks cycles; the P picks are distinct by
+            # construction (uniform sampling draws with replacement).
+            dur_rank = jnp.take_along_axis(
+                jnp.broadcast_to(dur_T, (B, M, J)), orders, axis=2
+            )
+            est = _swap_estimates(
+                tables, orders, starts, tails, dur_rank
+            ).reshape(B, M * J)
+            gum = jax.random.gumbel(k_cand, (B, M * J), jnp.float32)
+            score = jnp.where(
+                cand.reshape(B, M * J),
+                -est.astype(jnp.float32) / guided_temp + gum,
+                -jnp.inf,
+            )
+            _, idx = jax.lax.top_k(score, P)  # (B, P) distinct
+            idx = idx.astype(jnp.int32)
+            has = jnp.take_along_axis(cand.reshape(B, M * J), idx, axis=1)
+        else:
+            flat = jnp.broadcast_to(cand.reshape(B, 1, M * J), (B, P, M * J))
+            idx, has = jax.vmap(_sample_true, in_axes=(0, 1), out_axes=1)(
+                jax.random.split(k_cand, P), flat
+            )  # (B, P)
         msel_r = jax.random.randint(k_rand, (B, P), 0, M, dtype=jnp.int32)
         p_r = jax.random.randint(k_ten, (B, P), 0, J - 1, dtype=jnp.int32)
         msel = jnp.where(has, idx // J, msel_r)

@@ -111,6 +111,7 @@ def solve(
     tabu_chains: int = 128,
     tabu_proposals: int = 8,
     tabu_neighborhood: str = "sampled",
+    tabu_guided_temp: float = 4.0,
 ) -> SolveResult:
     """Search for a low-makespan schedule with ``batch`` parallel noisy
     rollouts for ``sweeps`` episodes each, fully on device.
@@ -188,6 +189,7 @@ def solve(
             state, best_sol, result, int(refine_iters), seed,
             float(anneal_t0), float(anneal_t1), refine_method,
             int(tabu_chains), int(tabu_proposals), tabu_neighborhood,
+            float(tabu_guided_temp),
         )
     return result
 
@@ -219,7 +221,8 @@ def top_k_distinct_orders(orders, mks, k: int) -> jnp.ndarray:
 def _refine(state, best_sol, rollout_result, iters, seed,
             t0_frac=0.08, t1_frac=0.004, method="anneal",
             tabu_chains=128, tabu_proposals=8,
-            tabu_neighborhood="sampled") -> SolveResult:
+            tabu_neighborhood="sampled",
+            tabu_guided_temp=4.0) -> SolveResult:
     """Refine rollout schedules in order space (SA or tabu search) and
     certify the refined winner through the exact engine (module docstring)."""
     import time
@@ -240,6 +243,7 @@ def _refine(state, best_sol, rollout_result, iters, seed,
         best_orders, best_mk = anneal.tabu_search(
             tables, seeds_k, jnp.asarray(seed, jnp.uint32) + 1, iters,
             proposals=tabu_proposals, neighborhood=tabu_neighborhood,
+            guided_temp=tabu_guided_temp,
         )
     else:
         orders0 = anneal.orders_from_solutions(op_pos, jnp.asarray(best_sol))

@@ -299,3 +299,35 @@ def test_tabu_full_neighborhood_improves_and_is_exact_on_best():
     np.testing.assert_array_equal(
         np.asarray(anneal.evaluate_orders(tb, bo)), np.asarray(bmk)
     )
+
+
+def test_tabu_guided_improves_and_is_exact_on_best():
+    """neighborhood='guided' (Gumbel-top-P over Taillard estimates): holds
+    a seeded optimum, improves rollout schedules, and best_mk is always the
+    EXACT makespan of best_orders (estimates only steer the proposal draw —
+    every applied move is priced by a real sweep)."""
+    state, tables = _tables("ta01")
+    opt_orders = jnp.repeat(
+        jnp.asarray(np.array(GOLDEN["ta01"]["machine_order"], np.int32))[None],
+        4, 0,
+    )
+    _, best = anneal.tabu_search(
+        tables, opt_orders, jnp.uint32(0), 60, proposals=4,
+        neighborhood="guided",
+    )
+    assert (np.asarray(best) == 1231).all()
+
+    spec = inst.random_instance(10, 6, duration_range=(1, 30), seed=11)
+    st = engine.state_from_spec(spec)
+    tb = anneal.schedule_tables(st.op_machine, st.op_dur, st.op_pos)
+    sol = solve.solve(spec, batch=32, sweeps=2, seed=2)
+    orders0 = anneal.orders_from_solutions(
+        jnp.asarray(st.op_pos, jnp.int32),
+        jnp.repeat(jnp.asarray(sol.solution)[None], 8, 0),
+    )
+    bo, bmk = anneal.tabu_search(tb, orders0, 5, iters=120, proposals=4,
+                                 neighborhood="guided")
+    assert int(jnp.min(bmk)) <= sol.makespan
+    np.testing.assert_array_equal(
+        np.asarray(anneal.evaluate_orders(tb, bo)), np.asarray(bmk)
+    )

@@ -56,8 +56,9 @@ def main() -> int:
     p.add_argument("--sweeps", type=int, default=3)
     p.add_argument("--chains", type=int, default=128)
     p.add_argument("--proposals", type=int, default=8)
-    p.add_argument("--neighborhood", choices=["sampled", "full"],
+    p.add_argument("--neighborhood", choices=["sampled", "full", "guided"],
                    default="sampled")
+    p.add_argument("--guided-temp", type=float, default=4.0)
     p.add_argument("--anneal-t0", type=float, default=0.015)
     p.add_argument("--anneal-t1", type=float, default=0.001)
     p.add_argument("--seeds", type=int, nargs="+", default=[0])
@@ -77,6 +78,7 @@ def main() -> int:
             anneal_t0=args.anneal_t0, anneal_t1=args.anneal_t1,
             tabu_chains=args.chains, tabu_proposals=args.proposals,
             tabu_neighborhood=args.neighborhood,
+            tabu_guided_temp=args.guided_temp,
         )
         return res, time.time() - t0
 
