@@ -87,6 +87,11 @@ def main() -> int:
     p.add_argument("--sweeps", type=int, default=6)
     p.add_argument("--refine", type=int, default=4000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--method", choices=["anneal", "tabu"], default="anneal")
+    p.add_argument("--update", action="store_true",
+                   help="re-solve SOLVER-DERIVED entries already present and "
+                        "keep whichever schedule certifies lower (published-"
+                        "optimum entries are never touched)")
     args = p.parse_args()
     names = args.names or DEFAULT_NAMES
 
@@ -96,8 +101,12 @@ def main() -> int:
         golden = json.load(f)
 
     for name in names:
-        if name in golden:
+        prev = golden.get(name)
+        if prev is not None and not args.update:
             print(f"{name}: already present, skipping")
+            continue
+        if prev is not None and "optimum" in prev:
+            print(f"{name}: published optimum entry, never updated")
             continue
         spec = inst.get_instance(name)
         res = solve.solve(
@@ -106,6 +115,7 @@ def main() -> int:
             sweeps=args.sweeps,
             seed=args.seed,
             refine_iters=args.refine,
+            refine_method=args.method,
         )
         order = res.machine_order()
         mk, _ = replay.replay_machine_order(spec, order)
@@ -113,9 +123,12 @@ def main() -> int:
         ref_mk = reference_makespan(name, order)
         if ref_mk >= 0:
             assert ref_mk == mk, f"{name}: reference replay {ref_mk} != {mk}"
+        if prev is not None and prev["makespan"] <= mk:
+            print(f"{name}: existing {prev['makespan']} <= new {mk}, keeping")
+            continue
         entry = {
             "makespan": mk,
-            "source": "solve+anneal",
+            "source": f"solve+{args.method}",
             "machine_order": order,
         }
         if name in BEST_KNOWN:
