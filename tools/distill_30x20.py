@@ -91,6 +91,65 @@ def pretrain(epochs=300, batch_size=512, lr=1e-3):
         print(f"{name}: greedy {r['greedy_makespan']}", flush=True)
 
 
+AUG_ORDERS = os.path.join(ROOT, "models_data", "distill_ta41_aug.json")
+PAIRS41 = os.path.join(ROOT, "models_data", "distill_ta41_pairs.npz")
+
+
+def augment_solve(seeds=(1, 2, 3), iters=12000):
+    """Solve ta41 at several seeds (chip) and save the DISTINCT refined
+    machine orders — extra teachers for visitation coverage around the
+    optimum (the single optimal trajectory only shows 600 states; greedy
+    play compounds errors in states it never saw)."""
+    from jssenv_tpu import solve
+
+    spec = inst.get_instance("ta41")
+    golden = json.load(open(GOLDEN))
+    seen = {tuple(np.asarray(golden["ta41"]["machine_order"]).ravel())}
+    out = []
+    for seed in seeds:
+        t0 = time.time()
+        res = solve.solve(spec, batch=1024, sweeps=3, seed=seed,
+                          refine_iters=iters, refine_method="tabu")
+        order = res.machine_order()
+        key = tuple(np.asarray(order).ravel())
+        if key in seen:
+            print(f"seed {seed}: duplicate schedule, skipped")
+            continue
+        seen.add(key)
+        out.append({"seed": seed, "makespan": res.makespan,
+                    "machine_order": order})
+        print(f"seed {seed}: makespan {res.makespan} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+    json.dump(out, open(AUG_ORDERS, "w"))
+    print(f"saved {len(out)} orders -> {AUG_ORDERS}")
+
+
+def augment_collect():
+    """Collect pairs from the augmentation orders (CPU): merge into the
+    all-instance pairs npz AND write a ta41-only pairs file (the anchored
+    fine-tune's CE anchor set)."""
+    golden = json.load(open(GOLDEN))
+    sets = [dict(np.load(PAIRS))]
+    spec = inst.get_instance("ta41")
+    p41 = [distill.collect_teacher_pairs(
+        spec, golden["ta41"]["machine_order"], CFG)]
+    for rec in json.load(open(AUG_ORDERS)):
+        pairs = distill.collect_teacher_pairs(
+            spec, rec["machine_order"], CFG
+        )
+        assert pairs["makespan"] == rec["makespan"]
+        print(f"seed {rec['seed']}: {pairs['obs'].shape[0]} pairs at "
+              f"makespan {pairs['makespan']}", flush=True)
+        sets.append(pairs)
+        p41.append(pairs)
+    merged = distill.merge_pairs(sets)
+    np.savez_compressed(PAIRS, **merged)
+    print(f"saved {merged['obs'].shape[0]} pairs -> {PAIRS}")
+    only41 = distill.merge_pairs(p41)
+    np.savez_compressed(PAIRS41, **only41)
+    print(f"saved {only41['obs'].shape[0]} ta41 pairs -> {PAIRS41}")
+
+
 def finetune(stages=((2e-4, 3e-3, 200), (1e-4, 1e-3, 200),
                      (5e-5, 3e-4, 200))):
     params = checkpoint.load(PRE, template_params())
@@ -113,6 +172,49 @@ def finetune(stages=((2e-4, 3e-3, 200), (1e-4, 1e-3, 200),
     print(f"best greedy {best[0]} -> {FINAL}")
 
 
+def finetune_anchored(rounds=10, rl_updates=60, anchor_epochs=4,
+                      rl_lr=1e-4, rl_ent=1e-3, anchor_lr=2e-4):
+    """Anchored fine-tune: interleave on-policy REINFORCE rounds with CE
+    anchor passes over the ta41 teacher pairs. The plain staged fine-tune
+    measured the failure mode: the imitation prior is nearly deterministic
+    (entropy ~0.15), RL alone drifts it to ~2480-class sampled play and the
+    teacher knowledge washes out; a periodic CE pass pulls the policy back
+    toward teacher actions in teacher-visited states while RL keeps fixing
+    the states imitation never saw."""
+    pairs = {k: v for k, v in np.load(PAIRS41).items()
+             if k in ("obs", "mask", "valid", "action")}
+    params = checkpoint.load(PRE, template_params())
+    spec = inst.get_instance("ta41")
+    env = vector.make_batch(spec, 2)
+    cfg = CFG.replace(learning_rate=rl_lr, entropy_coef=rl_ent)
+    best = (learner.evaluate_policy(params, spec, CFG)["greedy_makespan"],
+            params)
+    print(f"start: greedy {best[0]}", flush=True)
+    for r in range(rounds):
+        t0 = time.time()
+        ts, _ = learner.train(
+            spec, batch_size=1024, num_updates=rl_updates, config=cfg,
+            log_every=rl_updates, log_fn=lambda *_: None,
+            init_params=params,
+        )
+        params = distill.pretrain(
+            jax.random.key(100 + r), pairs, env, CFG,
+            epochs=anchor_epochs, batch_size=512, learning_rate=anchor_lr,
+            params=ts.params,
+        )
+        g_rl = learner.evaluate_policy(ts.params, spec, CFG)
+        g_anc = learner.evaluate_policy(params, spec, CFG)
+        print(f"round {r}: rl {g_rl['greedy_makespan']} anchored "
+              f"{g_anc['greedy_makespan']} ({time.time() - t0:.1f}s)",
+              flush=True)
+        for g, p in ((g_rl["greedy_makespan"], ts.params),
+                     (g_anc["greedy_makespan"], params)):
+            if g < best[0]:
+                best = (g, p)
+    checkpoint.save(FINAL, best[1])
+    print(f"best greedy {best[0]} -> {FINAL}")
+
+
 def evaluate(path):
     params = checkpoint.load(path, template_params())
     for name in NAMES:
@@ -128,6 +230,12 @@ if __name__ == "__main__":
         pretrain()
     elif cmd == "finetune":
         finetune()
+    elif cmd == "augment_solve":
+        augment_solve()
+    elif cmd == "augment_collect":
+        augment_collect()
+    elif cmd == "finetune_anchored":
+        finetune_anchored()
     elif cmd == "eval":
         evaluate(sys.argv[2])
     else:
