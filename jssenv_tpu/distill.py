@@ -115,11 +115,19 @@ def pretrain(
     learning_rate: float = 1e-3,
     params=None,
     log_fn=None,
+    label_smooth: float = 0.0,
 ):
     """Cross-entropy imitation of the teacher actions; returns params.
 
     ``env_state`` only provides the model shapes (a 1-lane batch is fine).
     With ``config.arch='perjob'`` the pretrained params then run any (J, M).
+
+    ``label_smooth`` spreads that fraction of the target mass uniformly
+    over the pair's LEGAL actions (the recorded mask): pure imitation of a
+    deterministic teacher collapses policy entropy (~0.15 measured on the
+    ta41 teachers), which starves the downstream on-policy fine-tune of
+    exploration; smoothing keeps the prior a distribution over plausible
+    moves rather than a lookup table.
     """
     model = learner_mod.make_model(env_state, config)
     if params is None:
@@ -153,6 +161,11 @@ def pretrain(
                 ce = -jnp.take_along_axis(
                     logp, batch["action"][:, None].astype(jnp.int32), axis=1
                 )[:, 0]
+                if label_smooth > 0.0:
+                    legal = batch["mask"].astype(logp.dtype)
+                    n_legal = jnp.maximum(legal.sum(axis=1), 1.0)
+                    ce_unif = -(logp * legal).sum(axis=1) / n_legal
+                    ce = (1.0 - label_smooth) * ce + label_smooth * ce_unif
                 return jnp.mean(ce)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -151,8 +151,8 @@ def augment_collect():
 
 
 def finetune(stages=((2e-4, 3e-3, 200), (1e-4, 1e-3, 200),
-                     (5e-5, 3e-4, 200))):
-    params = checkpoint.load(PRE, template_params())
+                     (5e-5, 3e-4, 200)), pre=PRE, out=FINAL):
+    params = checkpoint.load(pre, template_params())
     spec = inst.get_instance("ta41")
     best = None
     for lr, ent, updates in stages:
@@ -168,8 +168,8 @@ def finetune(stages=((2e-4, 3e-3, 200), (1e-4, 1e-3, 200),
               f"({time.time() - t0:.1f}s)", flush=True)
         if best is None or r["greedy_makespan"] < best[0]:
             best = (r["greedy_makespan"], params)
-    checkpoint.save(FINAL, best[1])
-    print(f"best greedy {best[0]} -> {FINAL}")
+    checkpoint.save(out, best[1])
+    print(f"best greedy {best[0]} -> {out}")
 
 
 def finetune_anchored(rounds=10, rl_updates=60, anchor_epochs=4,
@@ -229,7 +229,12 @@ if __name__ == "__main__":
     elif cmd == "pretrain":
         pretrain()
     elif cmd == "finetune":
-        finetune()
+        kw = {}
+        if len(sys.argv) > 2:
+            kw["pre"] = sys.argv[2]
+        if len(sys.argv) > 3:
+            kw["out"] = sys.argv[3]
+        finetune(**kw)
     elif cmd == "augment_solve":
         augment_solve()
     elif cmd == "augment_collect":
